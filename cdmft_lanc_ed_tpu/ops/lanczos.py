@@ -1,0 +1,214 @@
+"""Eigensolvers: thick-restart Lanczos (ARPACK replacement) and plain
+Lanczos tridiagonalisation (GF resolvent).
+
+Replaces the reference's external P-ARPACK / SciFortran SF_SP_LINALG layer
+(ED_DIAG.f90:150-185; ED_GF_NORMAL.f90:215-220) with JAX-native solvers:
+
+* :func:`lanczos_eigh` — thick-restart Lanczos [Wu & Simon 2000] with full
+  (CGS2) reorthogonalisation inside an ``ncv``-dimensional Krylov basis,
+  matching ARPACK's ``Neigen/Ncv/tol`` semantics
+  (Ncv = lanc_ncv_factor*max(Neigen,lanc_nstates_sector)+lanc_ncv_add,
+  ED_DIAG.f90:93-102).  The basis lives on device as one [ncv, dim] array;
+  each expansion step is a fixed-shape jitted kernel (masked over the active
+  prefix) so there is exactly one compilation per sector shape.
+* :func:`lanczos_tridiag` — fixed-step tridiagonalisation without
+  reorthogonalisation for continued-fraction Green's functions
+  (`lanc_ngfiter` steps), mirroring sp_lanc_tridiag semantics.
+* :func:`dense_eigh` — small-sector dense path (ED_DIAG.f90:194-218).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# plain Lanczos tridiagonalisation (no reorth) — GF resolvent kernel
+# ---------------------------------------------------------------------------
+
+def lanczos_tridiag(matvec: Callable, v0: jax.Array, niter: int,
+                    tol: float = 0.0) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Run up to ``niter`` Lanczos steps from (unnormalised) v0.
+
+    Returns (alphas[m], betas[m-1], m) where m ≤ niter is the number of
+    completed steps (early-stopped when β underflows, i.e. an invariant
+    subspace was found — matches sp_lanc_tridiag behaviour).
+    """
+    norm0 = float(jnp.linalg.norm(v0))
+    if norm0 == 0.0:
+        return np.zeros(0), np.zeros(0), 0
+
+    dtype = v0.dtype
+
+    @jax.jit
+    def step(carry, _):
+        v_prev, v, beta_prev = carry
+        w = matvec(v)
+        alpha = jnp.real(jnp.vdot(v, w))
+        w = w - alpha * v - beta_prev * v_prev
+        beta = jnp.linalg.norm(w)
+        v_next = jnp.where(beta > 0, w / jnp.maximum(beta, 1e-300), w)
+        return (v, v_next, beta.astype(dtype)), (alpha, beta)
+
+    v = v0 / norm0
+    carry = (jnp.zeros_like(v), v, jnp.asarray(0.0, dtype))
+    _, (alphas, betas) = jax.lax.scan(step, carry, None, length=niter)
+    alphas = np.asarray(alphas)
+    betas = np.asarray(jnp.real(betas))
+    # truncate at invariant subspace (β ~ 0)
+    thresh = max(tol, 1e-14) * max(1.0, float(np.abs(alphas).max(initial=1.0)))
+    m = niter
+    for j in range(niter - 1):
+        if betas[j] < thresh * 1e-2:
+            m = j + 1
+            break
+    return alphas[:m], betas[:m - 1] if m > 0 else betas[:0], m
+
+
+# ---------------------------------------------------------------------------
+# thick-restart Lanczos with full reorthogonalisation
+# ---------------------------------------------------------------------------
+
+class EighResult(NamedTuple):
+    eigenvalues: np.ndarray       # [neigen] ascending
+    eigenvectors: jax.Array       # [neigen, dim] (rows are vectors)
+    iterations: int
+    converged: bool
+
+
+def _expand_step(matvec):
+    """One masked CGS2 Lanczos expansion step, jitted once per shape."""
+
+    @jax.jit
+    def step(basis, j):
+        # basis: [ncv+1, dim]; expand from vector j -> produce v_{j+1}
+        ncv1, _ = basis.shape
+        v = basis[j]
+        w = matvec(v)
+        mask = (jnp.arange(ncv1) <= j)
+        # first CGS pass: projected column t = V^H w (masked)
+        c1 = jnp.where(mask, basis.conj() @ w, 0.0)
+        w = w - c1 @ basis
+        # second pass for orthogonality at machine precision
+        c2 = jnp.where(mask, basis.conj() @ w, 0.0)
+        w = w - c2 @ basis
+        beta = jnp.linalg.norm(w)
+        w = w / jnp.maximum(beta, 1e-300)
+        basis = basis.at[j + 1].set(w)
+        return basis, c1 + c2, beta
+
+    return step
+
+
+def lanczos_eigh(matvec: Callable, dim: int, neigen: int,
+                 ncv: int, maxiter: int = 512, tol: float = 1e-14,
+                 v0: Optional[jax.Array] = None,
+                 dtype=jnp.complex128, seed: int = 8527) -> EighResult:
+    """Lowest ``neigen`` eigenpairs of the Hermitian operator ``matvec``.
+
+    ARPACK-equivalent semantics (implicit restart replaced by thick restart):
+    ``ncv`` is the Krylov block size, ``maxiter`` caps total matvecs
+    (lanc_niter), ``tol`` the relative Ritz-residual tolerance
+    (lanc_tolerance; clamped to machine precision like ARPACK's tol<=0).
+    """
+    neigen = min(neigen, dim)
+    ncv = int(min(max(ncv, neigen + 2), dim))
+    eps = float(np.finfo(np.float64).eps)
+    tol = max(tol, eps)
+
+    if v0 is None:
+        key = jax.random.PRNGKey(seed)
+        v0 = (jax.random.normal(key, (dim,), jnp.float64)
+              + 1j * jax.random.normal(jax.random.fold_in(key, 1),
+                                       (dim,), jnp.float64)).astype(dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    basis = jnp.zeros((ncv + 1, dim), dtype).at[0].set(v0)
+    t_proj = np.zeros((ncv, ncv), dtype=np.complex128)
+    step = _expand_step(matvec)
+
+    k = 0                 # locked/restart prefix size
+    nmv = 0
+    ritz_vals = np.zeros(0)
+    while True:
+        # expand k -> ncv
+        for j in range(k, ncv):
+            basis, col, beta = step(basis, j)
+            col_np = np.asarray(col)[:ncv]
+            t_proj[: j + 1, j] = col_np[: j + 1]
+            t_proj[j, : j + 1] = col_np[: j + 1].conj()
+            beta_f = float(beta)
+            if j + 1 < ncv:
+                t_proj[j + 1, j] = beta_f
+                t_proj[j, j + 1] = beta_f
+            nmv += 1
+        last_beta = beta_f
+
+        theta, s = np.linalg.eigh(t_proj)
+        resid = np.abs(last_beta * s[-1, :])
+        conv = resid[:neigen] <= tol * np.maximum(np.abs(theta[:neigen]), 1.0)
+        ritz_vals = theta[:neigen]
+        if bool(conv.all()) or nmv >= maxiter or ncv >= dim:
+            svec = jnp.asarray(s[:, :neigen])
+            vecs = (svec.T @ basis[:ncv]).astype(dtype)
+            # renormalise (guards tiny CGS drift)
+            nrm = jnp.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / jnp.maximum(nrm, 1e-300)
+            return EighResult(ritz_vals.copy(), vecs, nmv, bool(conv.all()))
+
+        # thick restart: keep k Ritz vectors + the residual direction
+        k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+        svec = jnp.asarray(s[:, :k])
+        new_basis = jnp.zeros_like(basis)
+        new_basis = new_basis.at[:k].set((svec.T @ basis[:ncv]).astype(dtype))
+        new_basis = new_basis.at[k].set(basis[ncv])
+        basis = new_basis
+        t_proj[:] = 0.0
+        t_proj[:k, :k] = np.diag(theta[:k])
+        b_row = last_beta * s[-1, :k].conj()
+        t_proj[k, :k] = b_row
+        t_proj[:k, k] = b_row.conj()
+
+
+# ---------------------------------------------------------------------------
+# ground-state plain Lanczos (lanc_method="lanczos", T=0 only)
+# ---------------------------------------------------------------------------
+
+def lanczos_gs(matvec: Callable, dim: int, maxiter: int = 512,
+               tol: float = 1e-14, dtype=jnp.complex128,
+               seed: int = 8527) -> EighResult:
+    """Single lowest eigenpair via restarted plain Lanczos
+    (sp_lanc_eigh semantics, ED_DIAG.f90:173-185)."""
+    return lanczos_eigh(matvec, dim, neigen=1,
+                        ncv=min(dim, max(8, min(32, maxiter))),
+                        maxiter=maxiter, tol=tol, dtype=dtype, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# dense small-sector path (ED_DIAG.f90:194-218)
+# ---------------------------------------------------------------------------
+
+def dense_eigh(h: np.ndarray, neigen: Optional[int] = None):
+    """LAPACK path for dim <= lanc_dim_threshold; returns all or first
+    ``neigen`` pairs (vectors as rows)."""
+    w, v = np.linalg.eigh(h)
+    if neigen is not None:
+        w, v = w[:neigen], v[:, :neigen]
+    return w, v.T
+
+
+def tridiag_eigh(alphas: np.ndarray, betas: np.ndarray):
+    """Eigen-decomposition of the Lanczos tridiagonal (LAPACK stev
+    equivalent; ED_GF_NORMAL.f90:953).  Returns (evals, first-row weights)."""
+    m = len(alphas)
+    if m == 0:
+        return np.zeros(0), np.zeros(0)
+    t = np.diag(alphas)
+    if m > 1:
+        t += np.diag(betas, 1) + np.diag(betas, -1)
+    w, z = np.linalg.eigh(t)
+    return w, z[0, :]

@@ -10,4 +10,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The session harness pre-imports jax with the axon/TPU platform pinned via
+# sitecustomize; env vars alone are too late, so force CPU here.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

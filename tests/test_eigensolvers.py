@@ -1,0 +1,87 @@
+"""Device SpMV vs NumPy oracle; Lanczos eigensolvers vs dense LAPACK."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cdmft_lanc_ed_tpu.ops.sector_ham import build_sector_operator
+from cdmft_lanc_ed_tpu.ops import spmv, lanczos
+
+from test_sector_ham import make_problem
+
+
+def build_case(nup, ndw, **kw):
+    cfg, ih, hb, dh = make_problem(**kw)
+    op = build_sector_operator(cfg, ih, hb, dh, nup, ndw)
+    dop = spmv.to_device(op)
+    return op, dop
+
+
+def test_device_matvec_matches_numpy():
+    for case, sec in [
+        (dict(nlat=2, norb=1, nspin=1, nbath=1), (2, 2)),
+        (dict(nlat=1, norb=2, nspin=1, nbath=1, jx=0.3, jp=0.25), (2, 1)),
+        (dict(nlat=2, norb=1, nspin=2, nbath=2, complex_hloc=False), (3, 2)),
+    ]:
+        op, dop = build_case(*sec, **case)
+        rng = np.random.default_rng(3)
+        v = rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim)
+        mv = spmv.make_matvec(dop)
+        got = np.asarray(mv(jnp.asarray(v)))
+        want = op.matvec_np(v)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_lanczos_eigh_vs_dense():
+    op, dop = build_case(3, 3, nlat=2, norb=1, nspin=1, nbath=2)
+    assert op.dim > 200
+    h = op.to_dense()
+    w_ref = np.linalg.eigvalsh(h)
+    mv = spmv.make_matvec(dop)
+    res = lanczos.lanczos_eigh(mv, op.dim, neigen=4, ncv=24,
+                               maxiter=500, tol=1e-14)
+    assert res.converged
+    np.testing.assert_allclose(res.eigenvalues, w_ref[:4], atol=1e-9)
+    # residual check of the ground state vector
+    v0 = np.asarray(res.eigenvectors[0])
+    r = h @ v0 - res.eigenvalues[0] * v0
+    assert np.linalg.norm(r) < 1e-8
+
+
+def test_lanczos_degenerate_gs():
+    """Spin-symmetric sector pair gives exact degeneracies inside one
+    sector spectrum region; solver must resolve clustered eigenvalues."""
+    op, dop = build_case(2, 2, nlat=2, norb=1, nspin=1, nbath=1, seed=5)
+    h = op.to_dense()
+    w_ref = np.linalg.eigvalsh(h)
+    mv = spmv.make_matvec(dop)
+    res = lanczos.lanczos_eigh(mv, op.dim, neigen=6, ncv=30, maxiter=800)
+    np.testing.assert_allclose(res.eigenvalues, w_ref[:6], atol=1e-8)
+
+
+def test_tridiag_gs_energy():
+    op, dop = build_case(2, 2, nlat=2, norb=1, nspin=1, nbath=1)
+    h = op.to_dense()
+    e0 = np.linalg.eigvalsh(h)[0]
+    mv = spmv.make_matvec(dop)
+    rng = np.random.default_rng(7)
+    v0 = jnp.asarray(rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim))
+    a, b, m = lanczos.lanczos_tridiag(mv, v0, niter=min(120, op.dim))
+    w, _ = lanczos.tridiag_eigh(a, b)
+    assert abs(w[0] - e0) < 1e-8
+
+
+def test_tridiag_resolvent_moments():
+    """First continued-fraction moments match exact <v|H^k|v>."""
+    op, dop = build_case(1, 1, nlat=2, norb=1, nspin=1, nbath=0)
+    h = op.to_dense()
+    mv = spmv.make_matvec(dop)
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim)
+    v /= np.linalg.norm(v)
+    a, b, m = lanczos.lanczos_tridiag(mv, jnp.asarray(v), niter=8)
+    w, z0 = lanczos.tridiag_eigh(a, b)
+    for k in range(1, min(6, 2 * m - 1)):
+        exact = (v.conj() @ np.linalg.matrix_power(h, k) @ v).real
+        lancz = ((np.abs(z0) ** 2) * w ** k).sum()
+        np.testing.assert_allclose(lancz, exact, rtol=1e-9, atol=1e-9)
