@@ -1,0 +1,196 @@
+"""Sector-sweep diagonalization driver.
+
+TPU-first re-implementation of /root/reference/ED_DIAG.f90: loop over all
+(N_up, N_dw) Fock sectors, solve each with the dense path (small dims) or the
+device Lanczos eigensolver (ARPACK replacement), and accumulate the retained
+eigenstates into the capacity-constrained :class:`~.eigenspace.StateList`.
+
+Differences from the reference are deliberate TPU-side redesigns:
+
+* the eigensolver is our thick-restart Lanczos on a device-resident Krylov
+  block (ops/lanczos.py) instead of P-ARPACK;
+* the per-sector matvec is the XLA/Pallas SpMM kernel (ops/spmv.py) instead
+  of the MPI CSR matvec;
+* sector scheduling is pluggable: the default serial sweep mirrors the
+  reference (ED_DIAG.f90:78), the parallel module adds batched dispatch of
+  small sectors (new capability, see SURVEY.md section 2.3 item 7).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import EDConfig
+from .eigenspace import StateList
+from .ops import lanczos, sector_ham, spmv
+from .utils import fock
+
+
+@dataclass
+class DiagState:
+    """Mutable across-solve spectrum bookkeeping (the reference keeps these
+    as module globals: neigen_sector, twin_mask, zeta_function, ...)."""
+    cfg: EDConfig
+    neigen_sector: np.ndarray = field(default=None)
+    twin_mask: np.ndarray = field(default=None)
+    sectors_mask: np.ndarray = field(default=None)
+    lanc_nstates_total: int = 0
+    state_list: StateList = field(default_factory=StateList)
+    zeta_function: float = 0.0
+    trim_state_list: bool = False
+
+    def __post_init__(self):
+        cfg = self.cfg
+        ns, nsec = cfg.ns, cfg.nsectors
+        if self.neigen_sector is None:
+            # setup_global (ED_SETUP.f90:302-420): initial eigencount per
+            # sector; may be bootstrapped from state_list.restart
+            self.neigen_sector = np.full(nsec, cfg.lanc_nstates_sector,
+                                         dtype=np.int64)
+        if self.twin_mask is None:
+            self.twin_mask = np.ones(nsec, dtype=bool)
+            if cfg.ed_twin:
+                # solve only nup >= ndw (ED_SETUP.f90:354-365)
+                for isec in fock.all_sectors(ns):
+                    nup, ndw = fock.get_quantum_numbers(isec, ns)
+                    if nup < ndw:
+                        self.twin_mask[isec - 1] = False
+        if self.sectors_mask is None:
+            self.sectors_mask = np.ones(nsec, dtype=bool)
+        if self.lanc_nstates_total == 0:
+            self.lanc_nstates_total = cfg.lanc_nstates_total
+
+    # -- restart bootstrap (ED_SETUP.f90:325-351) -----------------------
+    def load_state_list_restart(self, path: str) -> None:
+        if not os.path.exists(path):
+            return
+        ns = self.cfg.ns
+        with open(path) as fh:
+            for line in fh:
+                toks = line.split()
+                if len(toks) >= 4:
+                    nup, ndw = int(toks[2]), int(toks[3])
+                    isec = fock.get_sector(nup, ndw, ns)
+                    self.neigen_sector[isec - 1] += 1
+
+
+SectorBuilder = Callable[[int, int], sector_ham.SectorOperator]
+
+
+def diagonalize_impurity(state: DiagState, build: SectorBuilder,
+                         log: Optional[Callable[[str], None]] = None) -> None:
+    """The hot outer loop (ed_diag_d, ED_DIAG.f90:53-260) + post-processing
+    (ed_post_diag, ED_DIAG.f90:337-471)."""
+    cfg = state.cfg
+    ns = cfg.ns
+    finite_t = cfg.finite_temp
+    verbose = log if log is not None else (lambda s: None)
+
+    state.state_list.free()
+    oldzero = 1000.0
+
+    for isector in fock.all_sectors(ns):
+        if not state.sectors_mask[isector - 1]:
+            continue
+        if not state.twin_mask[isector - 1]:
+            continue
+        nup, ndw = fock.get_quantum_numbers(isector, ns)
+        tflag = cfg.ed_twin and (nup != ndw)
+        dim = fock.get_sector_dim(isector, ns)
+
+        if cfg.lanc_method == "lanczos":
+            neigen, nblock = 1, 1
+        else:
+            neigen = min(dim, int(state.neigen_sector[isector - 1]))
+            nblock = min(dim, cfg.lanc_ncv_factor
+                         * max(neigen, cfg.lanc_nstates_sector)
+                         + cfg.lanc_ncv_add)
+        nitermax = min(dim, cfg.lanc_niter)
+        lanc_solve = (neigen != dim) and (dim > cfg.lanc_dim_threshold)
+
+        t0 = time.time()
+        op = build(nup, ndw)
+        if lanc_solve:
+            dev = spmv.to_device(op)
+            mv = spmv.make_matvec(dev)
+            res = lanczos.lanczos_eigh(
+                mv, dim, neigen=neigen, ncv=nblock, maxiter=nitermax * nblock,
+                tol=cfg.lanc_tolerance)
+            eig_values = np.asarray(res.eigenvalues)
+            eig_basis = np.asarray(res.eigenvectors)      # [neigen, dim]
+        else:
+            h = op.to_dense()
+            w, vecs = lanczos.dense_eigh(h)
+            eig_values = w[:neigen]
+            eig_basis = vecs[:neigen]
+        verbose(f"sector {isector:5d} (nup={nup:2d},ndw={ndw:2d}) dim={dim:8d}"
+                f" {'lanc' if lanc_solve else 'eigh'}"
+                f" E0={eig_values[0]: .10f} [{time.time()-t0:6.2f}s]")
+
+        if finite_t:
+            for i in range(len(eig_values)):
+                state.state_list.add(float(eig_values[i]), eig_basis[i],
+                                     isector, ns, twin=tflag,
+                                     size=state.lanc_nstates_total)
+        else:
+            # T=0: retain only (quasi-)degenerate ground states
+            # (ED_DIAG.f90:229-245)
+            for i in range(len(eig_values)):
+                enemin = float(eig_values[i])
+                if enemin < oldzero - 10.0 * cfg.gs_threshold:
+                    oldzero = enemin
+                    state.state_list.free()
+                    state.state_list.insert(enemin, eig_basis[i], isector, ns,
+                                            twin=tflag)
+                elif abs(enemin - oldzero) <= cfg.gs_threshold:
+                    oldzero = min(oldzero, enemin)
+                    state.state_list.insert(enemin, eig_basis[i], isector, ns,
+                                            twin=tflag)
+
+    _post_diag(state, verbose)
+
+
+def _post_diag(state: DiagState, verbose) -> None:
+    """Partition function + finite-T spectrum management
+    (ed_post_diag, ED_DIAG.f90:337-471)."""
+    cfg = state.cfg
+    sl = state.state_list
+    egs = sl.emin
+
+    if cfg.finite_temp:
+        state.zeta_function = float(sum(
+            np.exp(-cfg.beta * (s.energy - egs)) for s in sl))
+    else:
+        state.zeta_function = float(sl.size)
+
+    if not cfg.finite_temp:
+        return
+
+    # adapt neigen_sector (ED_DIAG.f90:420-440)
+    sectors = [s.isector for s in sl]
+    for i in range(cfg.nsectors):
+        cnt = sectors.count(i + 1)
+        if cnt > 0:
+            state.neigen_sector[i] += 1
+        else:
+            state.neigen_sector[i] -= 1
+        if state.neigen_sector[i] > cnt:
+            state.neigen_sector[i] = cnt + 1
+        if state.neigen_sector[i] <= 0:
+            state.neigen_sector[i] = 1
+
+    # Boltzmann cutoff management (ED_DIAG.f90:444-470)
+    ec = sl.emax
+    if np.exp(-cfg.beta * (ec - egs)) > cfg.cutoff:
+        state.lanc_nstates_total += cfg.lanc_nstates_step
+        verbose(f"increasing lanc_nstates_total -> {state.lanc_nstates_total}")
+    else:
+        while sl.size > 1 and \
+                np.exp(-cfg.beta * (sl.emax - egs)) <= cfg.cutoff:
+            sl.pop()
+        state.lanc_nstates_total = max(sl.size, cfg.lanc_nstates_step) \
+            + cfg.lanc_nstates_step

@@ -1,0 +1,361 @@
+"""Green's functions: batched GF-Lanczos, pole/weight spectra, self-energy.
+
+TPU-first re-implementation of /root/reference/ED_GF_NORMAL.f90 +
+ED_GREENS_FUNCTIONS.f90 + ED_GF_SHARED.f90.  Physics is identical (continued
+fraction via Lanczos tridiagonalisation in the particle-added/removed sector,
+2-channel symmetric or 4-channel general off-diagonal combination, Boltzmann
+weights); the execution model is redesigned for the hardware:
+
+* the base excitations ``c^+_a|psi>`` / ``c_a|psi>`` are built ONCE per
+  (state, spin) as vectorised index-gathers (the reference rebuilds every
+  mixed injection with explicit loops, ED_GF_NORMAL.f90:174-199,584-660);
+  all pair combinations are linear combinations of the base vectors;
+* every injection that targets the same (N_up, N_dw) sector runs in ONE
+  batched Lanczos (ops/lanczos.lanczos_tridiag_batched): the H·v kernel
+  becomes an SpMM with n_injections columns — MXU/VPU-friendly — and H is
+  built once per target sector per state (the reference rebuilds H per
+  injection, ED_GF_NORMAL.f90:208,275);
+* pole/weight accumulation into G(z) over the full frequency grids is one
+  batched device contraction instead of the reference's Lmats+Lreal serial
+  loop (ED_GF_NORMAL.f90:958-974);
+* Sigma = G0^{-1} - G^{-1} uses batched matrix inversion over all
+  frequencies at once (ED_GF_NORMAL.f90:987-1029 inverts serially).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bath import BathBasis, DmftBath, basis_lso_of, g0and_bath_lso, \
+    invg0_bath_lso
+from .config import EDConfig
+from .diag import DiagState
+from .ops import lanczos, sector_ham, spmv
+from .utils import fock
+from .utils.reshape import lso2nnn, nnn2lso
+
+
+# ---------------------------------------------------------------------------
+# frequency grids (allocate_grids, ED_GF_SHARED.f90:43-55)
+# ---------------------------------------------------------------------------
+
+def matsubara_grid(cfg: EDConfig) -> np.ndarray:
+    return np.pi / cfg.beta * (2 * np.arange(cfg.lmats) + 1)
+
+
+def realaxis_grid(cfg: EDConfig) -> np.ndarray:
+    return np.linspace(cfg.wini, cfg.wfin, cfg.lreal)
+
+
+def tau_grid(cfg: EDConfig) -> np.ndarray:
+    return np.linspace(0.0, cfg.beta, cfg.ltau)
+
+
+# ---------------------------------------------------------------------------
+# GFmatrix: pole/weight spectrum store (GFmatrix type, ED_VARS_GLOBAL.f90:76-100)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GFChannel:
+    poles: np.ndarray      # [Nexc] real
+    weights: np.ndarray    # [Nexc] complex
+
+
+class GFSpectrum:
+    """impGmatrix equivalent: per component (ilat,jlat,ispin,iorb,jorb) a
+    list over states of lists of channels."""
+
+    def __init__(self):
+        self.data: Dict[Tuple[int, int, int, int, int],
+                        List[List[GFChannel]]] = {}
+
+    def add_channel(self, key, istate: int, chan: GFChannel):
+        comp = self.data.setdefault(key, [])
+        while len(comp) <= istate:
+            comp.append([])
+        comp[istate].append(chan)
+
+    def flat(self, key):
+        """Concatenated (poles, weights) over all states/channels."""
+        poles, weights = [], []
+        for st in self.data.get(key, []):
+            for ch in st:
+                if len(ch.poles):
+                    poles.append(ch.poles)
+                    weights.append(ch.weights)
+        if not poles:
+            return np.zeros(0), np.zeros(0, np.complex128)
+        return np.concatenate(poles), np.concatenate(weights)
+
+    def evaluate(self, key, z: np.ndarray) -> np.ndarray:
+        """G(z) = sum_k w_k / (z - p_k) on device (ed_gf_cluster rebuild,
+        ED_IO/gf_cluster.f90:1-88)."""
+        p, w = self.flat(key)
+        if len(p) == 0:
+            return np.zeros(len(z), np.complex128)
+        zz = jnp.asarray(z)[:, None]
+        return np.asarray(jnp.sum(jnp.asarray(w)[None, :]
+                                  / (zz - jnp.asarray(p)[None, :]), axis=1))
+
+
+# ---------------------------------------------------------------------------
+# excitation injections (vectorised; ED_GF_NORMAL.f90:174-199 redesigned)
+# ---------------------------------------------------------------------------
+
+def _apply_up(v2d: np.ndarray, tgt: np.ndarray, sgn: np.ndarray,
+              jdim_up: int) -> np.ndarray:
+    """(op acting on the up factor): out[idw, tgt[iup]] = sgn*v[idw, iup]."""
+    out = np.zeros((v2d.shape[0], jdim_up), dtype=v2d.dtype)
+    sel = tgt >= 0
+    out[:, tgt[sel]] = v2d[:, sel] * sgn[sel]
+    return out
+
+
+def _apply_dw(v2d: np.ndarray, tgt: np.ndarray, sgn: np.ndarray,
+              jdim_dw: int) -> np.ndarray:
+    """(op acting on the dw factor): out[tgt[idw], iup] = sgn*v[idw, iup]."""
+    out = np.zeros((jdim_dw, v2d.shape[1]), dtype=v2d.dtype)
+    sel = tgt >= 0
+    out[tgt[sel], :] = v2d[sel, :] * sgn[sel][:, None]
+    return out
+
+
+def base_excitations(cfg: EDConfig, v2d: np.ndarray, nup: int, ndw: int,
+                     ispin: int, create: bool):
+    """All impurity-level excitations O_a|psi>, a=0..Nimp-1, as flattened
+    vectors in the target sector; returns (vectors [Nimp, jdim] or None,
+    (jnup, jndw))."""
+    ns, nimp = cfg.ns, cfg.nimp
+    dn = 1 if create else -1
+    if ispin == 0:
+        jnup, jndw = nup + dn, ndw
+    else:
+        jnup, jndw = nup, ndw + dn
+    if not (0 <= jnup <= ns and 0 <= jndw <= ns):
+        return None, (jnup, jndw)
+    src_up = fock.sector_states(ns, nup)
+    src_dw = fock.sector_states(ns, ndw)
+    tgt_up = fock.sector_states(ns, jnup)
+    tgt_dw = fock.sector_states(ns, jndw)
+    out = np.zeros((nimp, len(tgt_dw) * len(tgt_up)), dtype=v2d.dtype)
+    for a in range(nimp):
+        if ispin == 0:
+            tgt, sgn = fock.op_map(src_up, tgt_up, a, create)
+            out[a] = _apply_up(v2d, tgt, sgn, len(tgt_up)).ravel()
+        else:
+            tgt, sgn = fock.op_map(src_dw, tgt_dw, a, create)
+            out[a] = _apply_dw(v2d, tgt, sgn, len(tgt_dw)).ravel()
+    return out, (jnup, jndw)
+
+
+# ---------------------------------------------------------------------------
+# pole/weight extraction (add_to_lanczos_gf_normal, ED_GF_NORMAL.f90:915-975)
+# ---------------------------------------------------------------------------
+
+def _chain_to_poles(alphas: np.ndarray, betas: np.ndarray, norm0: float,
+                    vfac: complex, ei: float, egs: float, isign: int,
+                    cfg: EDConfig, zeta: float) -> GFChannel:
+    """One Lanczos chain -> (poles, weights).  ``vfac`` is the channel
+    prefactor (1 or -i); total weight prefactor = vfac*norm0^2*wBoltz/Z."""
+    if norm0 == 0.0:
+        return GFChannel(np.zeros(0), np.zeros(0, np.complex128))
+    # truncate at first vanishing beta (invariant subspace)
+    m = len(alphas)
+    scale = max(1.0, float(np.abs(alphas).max(initial=1.0)))
+    for j in range(len(betas)):
+        if betas[j] < 1e-16 * scale:
+            m = j + 1
+            break
+    theta, z0 = lanczos.tridiag_eigh(alphas[:m], betas[:m - 1])
+    if cfg.finite_temp:
+        arg = cfg.beta * (ei - egs)
+        pesobz = vfac * norm0 ** 2 * (np.exp(-arg) if arg < 200 else 0.0) / zeta
+    else:
+        pesobz = vfac * norm0 ** 2 / zeta
+    de = theta - ei
+    return GFChannel(poles=isign * de,
+                     weights=pesobz * (z0 * z0.conj() if np.iscomplexobj(z0)
+                                       else z0 ** 2))
+
+
+# ---------------------------------------------------------------------------
+# main GF build
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GFResult:
+    spectrum: GFSpectrum
+    # arrays shaped [Nlat,Nlat,Nspin,Nspin,Norb,Norb,L]
+    gmats: np.ndarray
+    greal: np.ndarray
+    smats: np.ndarray
+    sreal: np.ndarray
+    g0mats: np.ndarray
+    g0real: np.ndarray
+    max_exc: float
+    wm: np.ndarray
+    wr: np.ndarray
+
+
+SectorBuilder = Callable[[int, int], sector_ham.SectorOperator]
+
+
+def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
+                    log=lambda s: None) -> Tuple[GFSpectrum, float]:
+    """Fill the pole/weight spectrum for all (site,orb,spin) components
+    (build_gf_normal, ED_GF_NORMAL.f90:38-104)."""
+    ns, nimp, norb = cfg.ns, cfg.nimp, cfg.norb
+    spec = GFSpectrum()
+    egs = state.state_list.emin
+    zeta = state.zeta_function
+    max_exc = -np.inf
+    chan4 = not cfg.ed_gf_symmetric
+
+    # device operator cache per target sector within this build
+    op_cache: Dict[Tuple[int, int], object] = {}
+
+    def matvec_for(jnup, jndw):
+        key = (jnup, jndw)
+        if key not in op_cache:
+            dev = spmv.to_device(build(jnup, jndw))
+            op_cache[key] = spmv.make_matvec(dev)
+        return op_cache[key]
+
+    for istate, st in enumerate(state.state_list):
+        isector = st.isector
+        nup, ndw = fock.get_quantum_numbers(isector, ns)
+        ei = st.energy
+        vec = st.get_vector(ns)
+        dim_up = len(fock.sector_states(ns, nup))
+        dim_dw = len(fock.sector_states(ns, ndw))
+        v2d = np.asarray(vec).reshape(dim_dw, dim_up)
+
+        for ispin in range(cfg.nspin):
+            for create in (True, False):
+                base, (jnup, jndw) = base_excitations(
+                    cfg, v2d, nup, ndw, ispin, create)
+                if base is None:
+                    continue
+                isign = +1 if create else -1
+                # assemble the injection batch: Nimp diagonal vectors +
+                # pair combinations (a+b) and optionally (a ± i b)
+                vecs = [base[a] for a in range(nimp)]
+                meta = [((a, a), 1.0 + 0j) for a in range(nimp)]
+                for a in range(nimp):
+                    for b in range(nimp):
+                        if a == b:
+                            continue
+                        vecs.append(base[a] + base[b])
+                        meta.append(((a, b), 1.0 + 0j))
+                        if chan4:
+                            # reference: add c^+_a + i c^+_b ; del c_a - i c_b
+                            # (ED_GF_NORMAL.f90:584-660)
+                            ph = 1j if create else -1j
+                            vecs.append(base[a] + ph * base[b])
+                            meta.append(((a, b), -1j))
+                batch = np.stack(vecs)
+                nlanc = min(batch.shape[1], cfg.lanc_ngfiter)
+                mv = matvec_for(jnup, jndw)
+                alphas, betas, norms = lanczos.lanczos_tridiag_batched(
+                    mv, jnp.asarray(batch), nlanc)
+                for k, ((a, b), vfac) in enumerate(meta):
+                    ch = _chain_to_poles(alphas[k], betas[k],
+                                         float(norms[k]), vfac, ei, egs,
+                                         isign, cfg, zeta)
+                    if len(ch.poles):
+                        d = ch.poles * isign  # = de >= 0 excitation energies
+                        max_exc = max(max_exc, float(d.max()))
+                    ilat, iorb = divmod(a, norb)
+                    jlat, jorb = divmod(b, norb)
+                    spec.add_channel((ilat, jlat, ispin, iorb, jorb),
+                                     istate, ch)
+        log(f"gf: state {istate} sector ({nup},{ndw}) done")
+    return spec, max_exc
+
+
+def _accumulate_component(spec: GFSpectrum, cfg: EDConfig, key,
+                          zmats, zreal):
+    g_m = spec.evaluate(key, zmats)
+    g_r = spec.evaluate(key, zreal)
+    return g_m, g_r
+
+
+def build_gf_and_sigma(cfg: EDConfig, hb: BathBasis, bath: DmftBath,
+                       imp_hloc: np.ndarray, state: DiagState,
+                       build: SectorBuilder, log=lambda s: None) -> GFResult:
+    """buildgf_impurity equivalent (ED_GREENS_FUNCTIONS.f90:23-56):
+    spectrum -> G(iw), G(w) -> off-diagonal recombination -> Sigma."""
+    nlat, nspin, norb = cfg.nlat, cfg.nspin, cfg.norb
+    wm = matsubara_grid(cfg)
+    wr = realaxis_grid(cfg)
+    zmats = 1j * wm
+    zreal = wr + 1j * cfg.eps
+    shape_m = (nlat, nlat, nspin, nspin, norb, norb, cfg.lmats)
+    shape_r = (nlat, nlat, nspin, nspin, norb, norb, cfg.lreal)
+    gmats = np.zeros(shape_m, np.complex128)
+    greal = np.zeros(shape_r, np.complex128)
+
+    spec, max_exc = build_gf_normal(cfg, state, build, log)
+
+    chan4 = not cfg.ed_gf_symmetric
+    fac = (1.0 - (1j if chan4 else 0.0))
+    for ispin in range(nspin):
+        for ilat in range(nlat):
+            for iorb in range(norb):
+                key = (ilat, ilat, ispin, iorb, iorb)
+                gm, gr = _accumulate_component(spec, cfg, key, zmats, zreal)
+                gmats[ilat, ilat, ispin, ispin, iorb, iorb] = gm
+                greal[ilat, ilat, ispin, ispin, iorb, iorb] = gr
+        # off-diagonal: "nondiagonal trick" (ED_GF_NORMAL.f90:91-103)
+        for ilat in range(nlat):
+            for jlat in range(nlat):
+                for iorb in range(norb):
+                    for jorb in range(norb):
+                        if ilat == jlat and iorb == jorb:
+                            continue
+                        key = (ilat, jlat, ispin, iorb, jorb)
+                        gm, gr = _accumulate_component(spec, cfg, key,
+                                                       zmats, zreal)
+                        gii_m = gmats[ilat, ilat, ispin, ispin, iorb, iorb]
+                        gjj_m = gmats[jlat, jlat, ispin, ispin, jorb, jorb]
+                        gii_r = greal[ilat, ilat, ispin, ispin, iorb, iorb]
+                        gjj_r = greal[jlat, jlat, ispin, ispin, jorb, jorb]
+                        gmats[ilat, jlat, ispin, ispin, iorb, jorb] = \
+                            0.5 * (gm - fac * gii_m - fac * gjj_m)
+                        greal[ilat, jlat, ispin, ispin, iorb, jorb] = \
+                            0.5 * (gr - fac * gii_r - fac * gjj_r)
+
+    # ---- Sigma = G0^{-1} - G^{-1} (build_sigma_normal) ----
+    hloc_lso = jnp.asarray(nnn2lso(imp_hloc, nlat, nspin, norb))
+    basis_lso = basis_lso_of(cfg, hb)
+    v = jnp.asarray(bath.v)
+    lam = jnp.asarray(bath.lam)
+
+    def to_lso_freq(g):
+        # [.,.,.,.,.,.,L] -> [L, Nlso, Nlso]
+        return np.moveaxis(nnn2lso(g, nlat, nspin, norb), -1, 0)
+
+    invg0_m = invg0_bath_lso(jnp.asarray(zmats), hloc_lso, cfg.xmu, v, lam,
+                             basis_lso)
+    invg0_r = invg0_bath_lso(jnp.asarray(zreal), hloc_lso, cfg.xmu, v, lam,
+                             basis_lso)
+    invg_m = jnp.linalg.inv(jnp.asarray(to_lso_freq(gmats)))
+    invg_r = jnp.linalg.inv(jnp.asarray(to_lso_freq(greal)))
+    smats_lso = np.asarray(invg0_m - invg_m)
+    sreal_lso = np.asarray(invg0_r - invg_r)
+    g0m_lso = np.asarray(jnp.linalg.inv(invg0_m))
+    g0r_lso = np.asarray(jnp.linalg.inv(invg0_r))
+
+    def to_nnn(a_lso_freq):
+        return lso2nnn(np.moveaxis(a_lso_freq, 0, -1), nlat, nspin, norb)
+
+    return GFResult(
+        spectrum=spec,
+        gmats=gmats, greal=greal,
+        smats=to_nnn(smats_lso), sreal=to_nnn(sreal_lso),
+        g0mats=to_nnn(g0m_lso), g0real=to_nnn(g0r_lso),
+        max_exc=max_exc, wm=wm, wr=wr)

@@ -69,6 +69,47 @@ def lanczos_tridiag(matvec: Callable, v0: jax.Array, niter: int,
     return alphas[:m], betas[:m - 1] if m > 0 else betas[:0], m
 
 
+def lanczos_tridiag_batched(matvec, v0: jax.Array, niter: int):
+    """Batched fixed-step Lanczos tridiagonalisation.
+
+    v0 : [B, dim] unnormalised start vectors (rows).  ``matvec`` maps a
+    single [dim] vector.  Returns host arrays (alphas [B, niter],
+    betas [B, niter-1], norms0 [B]): the TPU-side replacement for the
+    reference's one-Lanczos-per-injection loop (ED_GF_NORMAL.f90:215-220) —
+    all injections into the same target sector run as ONE batched kernel,
+    so the H·v becomes an SpMM with B columns.
+
+    Chains are truncated on host at the first vanishing beta (invariant
+    subspace), exactly like the serial variant.
+    """
+    b, dim = v0.shape
+    norms0 = jnp.linalg.norm(v0, axis=1)
+    dtype = v0.dtype
+    mv = jax.vmap(matvec)
+
+    @jax.jit
+    def run(v0n):
+        def step(carry, _):
+            v_prev, v, beta_prev = carry
+            w = mv(v)
+            alpha = jnp.real(jnp.einsum("bi,bi->b", v.conj(), w))
+            w = w - alpha[:, None].astype(dtype) * v \
+                - beta_prev[:, None].astype(dtype) * v_prev
+            beta = jnp.linalg.norm(w, axis=1)
+            v_next = jnp.where((beta > 1e-200)[:, None],
+                               w / jnp.maximum(beta, 1e-300)[:, None], 0.0)
+            return (v, v_next, beta.astype(dtype)), (alpha, beta)
+
+        carry = (jnp.zeros_like(v0n), v0n, jnp.zeros(b, dtype))
+        _, (alphas, betas) = jax.lax.scan(step, carry, None, length=niter)
+        return alphas.T, betas.T          # [B, niter]
+
+    v0n = v0 / jnp.maximum(norms0, 1e-300)[:, None]
+    alphas, betas = run(v0n)
+    return (np.asarray(alphas), np.asarray(jnp.real(betas))[:, : niter - 1],
+            np.asarray(norms0))
+
+
 # ---------------------------------------------------------------------------
 # thick-restart Lanczos with full reorthogonalisation
 # ---------------------------------------------------------------------------

@@ -1,0 +1,172 @@
+"""Solver facade: ed_init_solver / ed_solve.
+
+TPU-first re-implementation of /root/reference/ED_MAIN.f90 (single-cluster
+path; the multi-inequivalent-cluster lattice variant lives in
+:mod:`.lattice_solver`).  Unlike the reference (mutable module globals) the
+solver is an explicit object holding the configuration, the bath basis and
+the latest results; all device work happens inside the diag/GF stages.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from . import bath as bath_mod
+from .bath import BathBasis, DmftBath
+from .config import EDConfig
+from .diag import DiagState, diagonalize_impurity
+from .gf import GFResult, build_gf_and_sigma
+from .observables import EnergyTerms, Observables, cluster_density_matrix, \
+    local_energy_impurity, observables_impurity, \
+    single_particle_density_matrix
+from .ops import sector_ham
+from .utils.reshape import assert_nnn_shape
+
+
+class EDSolver:
+    """One impurity+bath cluster solver instance.
+
+    Usage (mirrors the reference driver flow, drivers/cdn_hm_2dsquare.f90):
+
+        cfg = read_input("inputED.conf", ...)
+        solver = EDSolver(cfg)
+        solver.set_hbath(hsym_basis, lambdasym)          # ed_set_Hbath
+        bath = solver.init_solver()                      # ed_init_solver
+        solver.solve(bath, hloc)                         # ed_solve
+        smats = solver.sigma_matsubara()                 # ed_get_sigma
+    """
+
+    def __init__(self, cfg: EDConfig):
+        self.cfg = cfg.validate()
+        self.hb: Optional[BathBasis] = None
+        self.bath: Optional[DmftBath] = None
+        self.imp_hloc: Optional[np.ndarray] = None
+        self.diag_state: Optional[DiagState] = None
+        self.gf: Optional[GFResult] = None
+        self.obs: Optional[Observables] = None
+        self.energy: Optional[EnergyTerms] = None
+        self.cdm: Optional[np.ndarray] = None
+        self.spdm: Optional[np.ndarray] = None
+        self.verbose_log: Callable[[str], None] = (
+            (lambda s: print(s, flush=True)) if cfg.ed_verbose >= 2
+            else (lambda s: None))
+
+    # -- bath setup (ed_set_Hbath, ED_BATH.f90:41-58) -------------------
+    def set_hbath(self, basis, lambdas) -> None:
+        self.hb = bath_mod.set_hbath(basis, lambdas, self.cfg)
+
+    def set_hbath_from_hloc(self, hloc) -> None:
+        self.hb = bath_mod.hbath_basis_from_hloc(hloc, self.cfg)
+
+    def get_bath_dimension(self) -> int:
+        if self.hb is None:
+            raise RuntimeError("call set_hbath first")
+        return bath_mod.get_bath_dimension(self.cfg, self.hb.nsym)
+
+    # -- init (ed_init_solver, ED_MAIN.f90:53-184) ----------------------
+    def init_solver(self, bath_array: Optional[np.ndarray] = None
+                    ) -> np.ndarray:
+        cfg = self.cfg
+        if self.hb is None:
+            if cfg.nbath == 0:     # bath-less cluster ED (plaquette tests)
+                self.hb = BathBasis(
+                    basis=np.zeros((0, cfg.nlat, cfg.nlat, cfg.nspin,
+                                    cfg.nspin, cfg.norb, cfg.norb),
+                                   np.complex128),
+                    init_lambda=np.zeros((0, 0)))
+            else:
+                raise RuntimeError("call set_hbath before init_solver")
+        if bath_array is not None and not bath_mod.check_bath_dimension(
+                cfg, self.hb.nsym, bath_array):
+            raise ValueError("wrong bath dimensions")
+        restart = os.path.join(cfg.work_dir,
+                               cfg.hfile + cfg.ed_file_suffix + ".restart")
+        self.bath = bath_mod.init_dmft_bath(cfg, self.hb, restart)
+        self.diag_state = DiagState(cfg)
+        self.diag_state.load_state_list_restart(
+            os.path.join(cfg.work_dir,
+                         "state_list" + cfg.ed_file_suffix + ".restart"))
+        return bath_mod.pack_dmft_bath(cfg, self.bath)
+
+    # -- sector Hamiltonian factory -------------------------------------
+    def _sector_builder(self):
+        cfg = self.cfg
+        hrec = bath_mod.bath_h_rec(cfg, self.hb, self.bath)
+        dhyb = bath_mod.diag_hybr_of(cfg, self.bath)
+        hloc = self.imp_hloc
+
+        def build(nup: int, ndw: int) -> sector_ham.SectorOperator:
+            return sector_ham.build_sector_operator(
+                cfg, hloc, hrec, dhyb, nup, ndw)
+
+        return build
+
+    # -- solve (ed_solve, ED_MAIN.f90:195-282) --------------------------
+    def solve(self, bath_array: np.ndarray, hloc_nnn: np.ndarray) -> None:
+        cfg = self.cfg
+        assert_nnn_shape(np.asarray(hloc_nnn), cfg.nlat, cfg.nspin, cfg.norb,
+                         "Hloc")
+        self.imp_hloc = np.asarray(hloc_nnn, dtype=np.complex128)
+        self.bath = bath_mod.unpack_dmft_bath(cfg, bath_array)
+        bath_mod.save_dmft_bath(cfg, self.bath, os.path.join(
+            cfg.work_dir, cfg.hfile + cfg.ed_file_suffix + ".used"))
+        if self.diag_state is None:
+            self.diag_state = DiagState(cfg)
+
+        build = self._sector_builder()
+        diagonalize_impurity(self.diag_state, build, log=self.verbose_log)
+        self.diag_state.state_list.save(
+            os.path.join(cfg.work_dir,
+                         "state_list" + cfg.ed_file_suffix + ".ed"), cfg.ns)
+
+        if cfg.gf_flag:
+            self.gf = build_gf_and_sigma(cfg, self.hb, self.bath,
+                                         self.imp_hloc, self.diag_state,
+                                         build, log=self.verbose_log)
+        self.obs = observables_impurity(cfg, self.diag_state)
+        self.energy = local_energy_impurity(cfg, self.imp_hloc,
+                                            self.diag_state)
+        if cfg.dm_flag:
+            self.cdm = cluster_density_matrix(cfg, self.diag_state)
+            self.spdm = single_particle_density_matrix(cfg, self.diag_state)
+
+    # -- getters (ED_IO.f90:241-289 equivalents) ------------------------
+    @property
+    def egs(self) -> float:
+        return self.diag_state.state_list.emin
+
+    def sigma_matsubara(self) -> np.ndarray:
+        return self.gf.smats
+
+    def sigma_realaxis(self) -> np.ndarray:
+        return self.gf.sreal
+
+    def gimp_matsubara(self) -> np.ndarray:
+        return self.gf.gmats
+
+    def gimp_realaxis(self) -> np.ndarray:
+        return self.gf.greal
+
+    def g0imp_matsubara(self) -> np.ndarray:
+        return self.gf.g0mats
+
+    def g0imp_realaxis(self) -> np.ndarray:
+        return self.gf.g0real
+
+    def dens(self) -> np.ndarray:
+        return self.obs.dens
+
+    def docc(self) -> np.ndarray:
+        return self.obs.docc
+
+    def mag(self) -> np.ndarray:
+        return self.obs.magz
+
+    def cluster_dm(self) -> Optional[np.ndarray]:
+        return self.cdm
+
+    def sp_dm(self) -> Optional[np.ndarray]:
+        return self.spdm
