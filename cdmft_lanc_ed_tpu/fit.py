@@ -1,0 +1,169 @@
+"""chi^2 bath fit: conjugate-gradient optimisation of the bath parameters.
+
+TPU-first re-implementation of /root/reference/ED_FIT_CHI2.f90 +
+ED_FIT_REPLICA.f90 + ED_FIT_GENERAL.f90.  The reference carries ~1.2k lines
+of hand-derived analytic gradients (ED_FIT_REPLICA.f90:528-969,
+ED_FIT_GENERAL.f90:528-1010); here the whole chi^2 — including the batched
+frequency-dependent matrix inversions inside Delta/G0and — is one
+differentiable JAX function, and the gradient is **autodiff**, jit-compiled
+once per fit shape.  The CG driver loop runs on host (scipy), every
+value+gradient evaluation on device.
+
+Reference semantics kept exactly:
+
+* fit target ``cg_scheme``: "delta" (hybridisation) or "weiss" (G0and)
+  (ED_FIT_REPLICA.f90:418-447);
+* frequency weights ``cg_weight``: 1 | n | w_n (ED_FIT_REPLICA.f90:107-114);
+* norm ``cg_norm``: "elemental" (per-matrix-element weighted, optional
+  spectral element weights ``cg_matrix``) or "frobenius"
+  (ED_FIT_REPLICA.f90:330-410);
+* parameter vector layout: per replica [V (1 value for replica-bath, Nlso
+  for general-bath), lambda(1..Nsym)] — the user bath array minus its
+  N_dec header (ED_FIT_REPLICA.f90:87-95).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bath import BathBasis, DmftBath, basis_lso_of, pack_dmft_bath, \
+    unpack_dmft_bath
+from .config import EDConfig
+from .utils.reshape import nnn2lso
+
+jax.config.update("jax_enable_x64", True)
+
+
+def _fit_weights(cfg: EDConfig, ldelta: int) -> np.ndarray:
+    """Wdelta (ED_FIT_REPLICA.f90:107-114)."""
+    xdelta = np.pi / cfg.beta * (2 * np.arange(1, ldelta + 1) - 1)
+    if cfg.cg_weight == 2:
+        return np.arange(1, ldelta + 1, dtype=np.float64)
+    if cfg.cg_weight == 3:
+        return xdelta
+    return np.ones(ldelta)
+
+
+def _make_chi2(cfg: EDConfig, basis_lso: jnp.ndarray,
+               hloc_lso: Optional[jnp.ndarray], fg_lso: jnp.ndarray,
+               z: jnp.ndarray, wdelta: jnp.ndarray, wmat: jnp.ndarray):
+    """Differentiable chi^2(x) with x the flat fit-parameter vector."""
+    nbath, nlso, nsym = cfg.nbath, cfg.nlso, basis_lso.shape[0]
+    nv = 1 if cfg.bath_type == "replica" else nlso
+    ldelta = fg_lso.shape[0]
+    pow_ = cfg.cg_pow
+    eye = jnp.eye(nlso, dtype=jnp.complex128)
+
+    def unpack(x):
+        x = x.reshape(nbath, nv + nsym)
+        v = x[:, :nv]
+        lam = x[:, nv:]
+        if cfg.bath_type == "replica":
+            v = jnp.repeat(v, nlso, axis=1)
+        return v, lam
+
+    def model(x):
+        v, lam = unpack(x)
+        hk = jnp.einsum("bs,sij->bij", lam.astype(jnp.complex128), basis_lso)
+        a = z[:, None, None, None] * eye - hk[None]
+        vk = jax.vmap(jnp.diag)(v.astype(jnp.complex128))
+        sol = jnp.linalg.solve(a, jnp.broadcast_to(vk, a.shape))
+        delta = jnp.einsum("bik,lbkj->lij", vk, sol)
+        if cfg.cg_scheme == "weiss":
+            g0inv = (z[:, None, None] + cfg.xmu) * eye \
+                - hloc_lso[None] - delta
+            return jnp.linalg.inv(g0inv)
+        return delta
+
+    def chi2(x):
+        d = model(x) - fg_lso                        # [L, n, n]
+        a2 = d.real ** 2 + d.imag ** 2
+        if cfg.cg_norm == "frobenius":
+            # (ED_FIT_REPLICA.f90:383-410)
+            fr = jnp.sqrt(a2.sum(axis=(1, 2)))       # [L]
+            val = (fr ** pow_ / wdelta).sum()
+            return val / ldelta / nlso
+        # elemental (ED_FIT_REPLICA.f90:330-380)
+        mag = a2 if pow_ == 2 else a2 ** (pow_ / 2.0)
+        per_elem = (mag / wdelta[:, None, None]).sum(axis=0)   # [n, n]
+        return (per_elem / wmat).sum() / ldelta / (nlso * nlso)
+
+    return jax.jit(jax.value_and_grad(chi2))
+
+
+def chi2_fitgf(cfg: EDConfig, hb: BathBasis, fg_nnn: np.ndarray,
+               bath_array: np.ndarray,
+               hloc_nnn: Optional[np.ndarray] = None,
+               log=lambda s: None) -> Tuple[np.ndarray, float, int]:
+    """ed_chi2_fitgf equivalent (ED_FIT_CHI2.f90:20-29): fit the bath to the
+    target function ``fg_nnn`` [Nlat,Nlat,Nspin,Nspin,Norb,Norb,L] on the
+    Matsubara axis; returns (new bath array, chi2, iterations)."""
+    nlat, nspin, norb, nlso = cfg.nlat, cfg.nspin, cfg.norb, cfg.nlso
+    bath = unpack_dmft_bath(cfg, bath_array)
+    nsym = bath.nsym
+    ldelta = min(cfg.lfit, fg_nnn.shape[-1])
+
+    fg_lso = np.moveaxis(nnn2lso(fg_nnn, nlat, nspin, norb), -1, 0)[:ldelta]
+    wm = np.pi / cfg.beta * (2 * np.arange(ldelta) + 1)
+    z = jnp.asarray(1j * wm)
+    wdelta = jnp.asarray(_fit_weights(cfg, ldelta))
+
+    # element weights (cg_matrix, ED_FIT_REPLICA.f90:352-366)
+    if cfg.cg_matrix == 1 and cfg.cg_norm == "elemental":
+        wmat_np = np.abs(fg_lso.sum(axis=0)) / cfg.beta
+        wmat_np = np.where(wmat_np > 1e-10, wmat_np, 1.0)
+    else:
+        wmat_np = np.ones((nlso, nlso))
+    wmat = jnp.asarray(wmat_np)
+
+    hloc_lso = None
+    if cfg.cg_scheme == "weiss":
+        if hloc_nnn is None:
+            raise ValueError("cg_scheme='weiss' requires hloc_nnn")
+        hloc_lso = jnp.asarray(nnn2lso(np.asarray(hloc_nnn, np.complex128),
+                                       nlat, nspin, norb))
+
+    basis_lso = basis_lso_of(cfg, hb)
+    vg = _make_chi2(cfg, basis_lso, hloc_lso, jnp.asarray(fg_lso), z,
+                    wdelta, wmat)
+
+    # pack fit parameters (bath array minus N_dec header)
+    nv = 1 if cfg.bath_type == "replica" else nlso
+    x0 = np.concatenate([
+        np.concatenate([bath.v[ib, :nv], bath.lam[ib]])
+        for ib in range(cfg.nbath)])
+
+    from scipy.optimize import minimize
+
+    def fun(x):
+        val, grad = vg(jnp.asarray(x))
+        return float(val), np.asarray(grad)
+
+    res = minimize(fun, x0, jac=True, method="CG",
+                   options={"maxiter": cfg.cg_niter,
+                            "gtol": cfg.cg_ftol})
+    xfit = res.x
+    log(f"chi2 fit: chi2={res.fun:.6e} iter={res.nit} "
+        f"converged={res.success}")
+
+    # unpack back into a bath
+    xr = xfit.reshape(cfg.nbath, nv + nsym)
+    vfit = np.zeros_like(bath.v)
+    vfit[:, :] = xr[:, :1] if cfg.bath_type == "replica" else xr[:, :nv]
+    new_bath = DmftBath(v=vfit, lam=xr[:, nv:].copy())
+    out = pack_dmft_bath(cfg, new_bath)
+
+    # result files (ED_FIT_REPLICA.f90:228-291)
+    try:
+        with open(os.path.join(cfg.work_dir,
+                               "chi2fit_results" + cfg.ed_file_suffix
+                               + ".ed"), "a") as fh:
+            fh.write(f"{res.fun:25.15e} {res.nit:6d}\n")
+    except OSError:
+        pass
+    return out, float(res.fun), int(res.nit)
