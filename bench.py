@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Round benchmark: Lanczos H·v throughput (nnz/s) on the flagship sector.
+
+Prints ONE JSON line:
+  {"metric": "lanczos_spmv_nnz_per_s", "value": N, "unit": "nnz/s",
+   "vs_baseline": R}
+
+The flagship problem is the 2x2 Hubbard plaquette + 2 replica baths
+(Ns=12), half-filled sector (6,6): dim = 924^2 = 853,776 — the BASELINE.json
+"Lanczos H·v nnz/s per chip" metric on config 1's big brother.
+``vs_baseline`` is the fraction of the HBM-bandwidth roofline achieved
+(the reference publishes no numbers, SURVEY.md section 6; the north-star
+target is >= 0.7 of roofline).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from cdmft_lanc_ed_tpu.ops import spmv
+
+    _, op = ge._plaquette_bath_op(nbath=2, nup=6, ndw=6)
+    dev = spmv.to_device(op)
+    dd, du = dev.diag.shape
+    nnz = op.nnz
+
+    @jax.jit
+    def chain(v, steps):
+        def body(v, _):
+            w = spmv.matvec_2d(dev, v)
+            return w / jnp.linalg.norm(w), None
+        v, _ = jax.lax.scan(body, v, None, length=steps)
+        return v
+
+    rng = np.random.default_rng(0)
+    v = jnp.asarray((rng.normal(size=(dd, du))
+                     + 1j * rng.normal(size=(dd, du))) / np.sqrt(op.dim))
+
+    # warmup/compile
+    out = chain(v, 2)
+    jax.block_until_ready(out)
+
+    steps = 30
+    t0 = time.time()
+    out = chain(v, steps)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    nnz_per_s = nnz * steps / dt
+
+    # HBM roofline: per nnz we move ~ a 16-byte complex128 vector element
+    # (gather) + amortised ELL value/col (~18B across the dw batch) ; plus
+    # the vector read+write per row-batch.  ~32 B/nnz effective.
+    dev_kind = jax.devices()[0].device_kind.lower()
+    hbm_bw = 8.19e11 if "v5" in dev_kind else \
+        (1.2e12 if "v4" in dev_kind else 9.0e11)   # bytes/s, rough
+    roofline = hbm_bw / 32.0
+    print(json.dumps({
+        "metric": "lanczos_spmv_nnz_per_s",
+        "value": float(f"{nnz_per_s:.4g}"),
+        "unit": "nnz/s",
+        "vs_baseline": float(f"{nnz_per_s / roofline:.4g}"),
+    }))
+    print(f"# dim={op.dim} nnz={nnz} steps={steps} dt={dt:.3f}s "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -277,11 +277,32 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
     return spec, max_exc
 
 
-def _accumulate_component(spec: GFSpectrum, cfg: EDConfig, key,
-                          zmats, zreal):
-    g_m = spec.evaluate(key, zmats)
-    g_r = spec.evaluate(key, zreal)
-    return g_m, g_r
+def evaluate_gf_nnn(spec: GFSpectrum, cfg: EDConfig,
+                    z: np.ndarray) -> np.ndarray:
+    """Rebuild the full cluster GF at arbitrary complex frequencies from the
+    stored pole/weight spectrum, including the off-diagonal recombination
+    (ed_gf_cluster, ED_IO/gf_cluster.f90:1-88)."""
+    nlat, nspin, norb = cfg.nlat, cfg.nspin, cfg.norb
+    out = np.zeros((nlat, nlat, nspin, nspin, norb, norb, len(z)),
+                   np.complex128)
+    fac = 1.0 - (0.0 if cfg.ed_gf_symmetric else 1j)
+    for ispin in range(nspin):
+        for ilat in range(nlat):
+            for iorb in range(norb):
+                out[ilat, ilat, ispin, ispin, iorb, iorb] = \
+                    spec.evaluate((ilat, ilat, ispin, iorb, iorb), z)
+        for ilat in range(nlat):
+            for jlat in range(nlat):
+                for iorb in range(norb):
+                    for jorb in range(norb):
+                        if ilat == jlat and iorb == jorb:
+                            continue
+                        g = spec.evaluate((ilat, jlat, ispin, iorb, jorb), z)
+                        gii = out[ilat, ilat, ispin, ispin, iorb, iorb]
+                        gjj = out[jlat, jlat, ispin, ispin, jorb, jorb]
+                        out[ilat, jlat, ispin, ispin, iorb, jorb] = \
+                            0.5 * (g - fac * gii - fac * gjj)
+    return out
 
 
 def build_gf_and_sigma(cfg: EDConfig, hb: BathBasis, bath: DmftBath,
@@ -294,40 +315,9 @@ def build_gf_and_sigma(cfg: EDConfig, hb: BathBasis, bath: DmftBath,
     wr = realaxis_grid(cfg)
     zmats = 1j * wm
     zreal = wr + 1j * cfg.eps
-    shape_m = (nlat, nlat, nspin, nspin, norb, norb, cfg.lmats)
-    shape_r = (nlat, nlat, nspin, nspin, norb, norb, cfg.lreal)
-    gmats = np.zeros(shape_m, np.complex128)
-    greal = np.zeros(shape_r, np.complex128)
-
     spec, max_exc = build_gf_normal(cfg, state, build, log)
-
-    chan4 = not cfg.ed_gf_symmetric
-    fac = (1.0 - (1j if chan4 else 0.0))
-    for ispin in range(nspin):
-        for ilat in range(nlat):
-            for iorb in range(norb):
-                key = (ilat, ilat, ispin, iorb, iorb)
-                gm, gr = _accumulate_component(spec, cfg, key, zmats, zreal)
-                gmats[ilat, ilat, ispin, ispin, iorb, iorb] = gm
-                greal[ilat, ilat, ispin, ispin, iorb, iorb] = gr
-        # off-diagonal: "nondiagonal trick" (ED_GF_NORMAL.f90:91-103)
-        for ilat in range(nlat):
-            for jlat in range(nlat):
-                for iorb in range(norb):
-                    for jorb in range(norb):
-                        if ilat == jlat and iorb == jorb:
-                            continue
-                        key = (ilat, jlat, ispin, iorb, jorb)
-                        gm, gr = _accumulate_component(spec, cfg, key,
-                                                       zmats, zreal)
-                        gii_m = gmats[ilat, ilat, ispin, ispin, iorb, iorb]
-                        gjj_m = gmats[jlat, jlat, ispin, ispin, jorb, jorb]
-                        gii_r = greal[ilat, ilat, ispin, ispin, iorb, iorb]
-                        gjj_r = greal[jlat, jlat, ispin, ispin, jorb, jorb]
-                        gmats[ilat, jlat, ispin, ispin, iorb, jorb] = \
-                            0.5 * (gm - fac * gii_m - fac * gjj_m)
-                        greal[ilat, jlat, ispin, ispin, iorb, jorb] = \
-                            0.5 * (gr - fac * gii_r - fac * gjj_r)
+    gmats = evaluate_gf_nnn(spec, cfg, zmats)
+    greal = evaluate_gf_nnn(spec, cfg, zreal)
 
     # ---- Sigma = G0^{-1} - G^{-1} (build_sigma_normal) ----
     hloc_lso = jnp.asarray(nnn2lso(imp_hloc, nlat, nspin, norb))

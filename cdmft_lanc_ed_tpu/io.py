@@ -1,0 +1,237 @@
+"""IO: text-file printers/readers and reduced density matrices.
+
+TPU-native re-implementation of /root/reference/ED_IO.f90 + ED_IO/*.f90.
+File naming conventions match the reference exactly so that postprocessing
+scripts written for the reference keep working:
+
+  impSigma_Isite0001_Jsite0002_l11_s1_iw.ed     (splot 3-column format)
+  impG_..._realw.ed, impG0_..., reduced_density_matrix*.dat
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .config import EDConfig
+from .gf import GFResult, GFSpectrum, evaluate_gf_nnn
+from .utils import fock
+
+
+# ---------------------------------------------------------------------------
+# splot-style writers (SF_IOTOOLS splot: x, Re f, Im f columns)
+# ---------------------------------------------------------------------------
+
+def splot(path: str, x: np.ndarray, f: np.ndarray) -> None:
+    """3-column text format (x, Im f, Re f) — matches SciFortran splot for
+    complex arrays (imaginary part first, reference convention)."""
+    with open(path, "w") as fh:
+        for xi, fi in zip(x, f):
+            fh.write(f"{xi:26.18e} {fi.imag:26.18e} {fi.real:26.18e}\n")
+
+
+def sread(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    data = np.loadtxt(path)
+    return data[:, 0], data[:, 2] + 1j * data[:, 1]
+
+
+def _component_suffix(ilat: int, jlat: int, iorb: int, jorb: int,
+                      ispin: int) -> str:
+    """Reference file suffix (ED_IO.f90:372): 1-based indices, sites
+    zero-padded to 4 digits."""
+    return (f"_Isite{ilat+1:04d}_Jsite{jlat+1:04d}"
+            f"_l{iorb+1}{jorb+1}_s{ispin+1}")
+
+
+def _print_function(cfg: EDConfig, arr: np.ndarray, x: np.ndarray,
+                    prefix: str, axis_tag: str) -> None:
+    for ispin in range(cfg.nspin):
+        for ilat in range(cfg.nlat):
+            for jlat in range(cfg.nlat):
+                for iorb in range(cfg.norb):
+                    for jorb in range(cfg.norb):
+                        sfx = _component_suffix(ilat, jlat, iorb, jorb,
+                                                ispin)
+                        fn = (prefix + sfx + "_" + axis_tag
+                              + cfg.ed_file_suffix + ".ed")
+                        splot(os.path.join(cfg.work_dir, fn), x,
+                              arr[ilat, jlat, ispin, ispin, iorb, jorb])
+
+
+def print_impsigma(cfg: EDConfig, gf: GFResult) -> None:
+    """ed_print_impSigma (ED_IO.f90:358-380)."""
+    _print_function(cfg, gf.smats, gf.wm, "impSigma", "iw")
+    _print_function(cfg, gf.sreal, gf.wr, "impSigma", "realw")
+
+
+def print_impg(cfg: EDConfig, gf: GFResult) -> None:
+    _print_function(cfg, gf.gmats, gf.wm, "impG", "iw")
+    _print_function(cfg, gf.greal, gf.wr, "impG", "realw")
+
+
+def print_impg0(cfg: EDConfig, gf: GFResult) -> None:
+    _print_function(cfg, gf.g0mats, gf.wm, "impG0", "iw")
+    _print_function(cfg, gf.g0real, gf.wr, "impG0", "realw")
+
+
+def read_impsigma(cfg: EDConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """ed_read_impSigma (ED_IO.f90:630-744): returns (smats, sreal)."""
+    sm = np.zeros((cfg.nlat, cfg.nlat, cfg.nspin, cfg.nspin, cfg.norb,
+                   cfg.norb, cfg.lmats), np.complex128)
+    sr = np.zeros(sm.shape[:-1] + (cfg.lreal,), np.complex128)
+    for ispin in range(cfg.nspin):
+        for ilat in range(cfg.nlat):
+            for jlat in range(cfg.nlat):
+                for iorb in range(cfg.norb):
+                    for jorb in range(cfg.norb):
+                        sfx = _component_suffix(ilat, jlat, iorb, jorb,
+                                                ispin)
+                        base = os.path.join(cfg.work_dir, "impSigma" + sfx)
+                        f_iw = base + "_iw" + cfg.ed_file_suffix + ".ed"
+                        f_re = base + "_realw" + cfg.ed_file_suffix + ".ed"
+                        if os.path.exists(f_iw):
+                            _, sm[ilat, jlat, ispin, ispin, iorb, jorb] = \
+                                sread(f_iw)
+                        if os.path.exists(f_re):
+                            _, sr[ilat, jlat, ispin, ispin, iorb, jorb] = \
+                                sread(f_re)
+    return sm, sr
+
+
+# ---------------------------------------------------------------------------
+# observables files (write_observables, ED_OBSERVABLES.f90:969-1088)
+# ---------------------------------------------------------------------------
+
+def write_observables(cfg: EDConfig, obs, egs: float,
+                      suffix: str = "") -> None:
+    cols = ["dens", "docc", "magz", "egs"]
+    path_info = os.path.join(cfg.work_dir, "observables_info.ed")
+    if not os.path.exists(path_info):
+        with open(path_info, "w") as fh:
+            fh.write("# " + " ".join(cols) + " (per site/orb)\n")
+    row = np.concatenate([obs.dens.ravel(), obs.docc.ravel(),
+                          obs.magz.ravel(), [egs]])
+    line = " ".join(f"{x:24.15e}" for x in row)
+    with open(os.path.join(cfg.work_dir,
+                           f"observables_all{suffix}.ed"), "a") as fh:
+        fh.write(line + "\n")
+    with open(os.path.join(cfg.work_dir,
+                           f"observables_last{suffix}.ed"), "w") as fh:
+        fh.write(line + "\n")
+
+
+def write_energy(cfg: EDConfig, energy) -> None:
+    with open(os.path.join(cfg.work_dir, "energy_last.ed"), "w") as fh:
+        fh.write(f"{energy.eknot:24.15e} {energy.epot:24.15e} "
+                 f"{energy.ehartree:24.15e} {energy.dust:24.15e} "
+                 f"{energy.dund:24.15e}\n")
+
+
+# ---------------------------------------------------------------------------
+# reduced density matrices (ED_IO/get_reduced_dm.f90:68-212)
+# ---------------------------------------------------------------------------
+
+def get_reduced_dm(cfg: EDConfig, cdm: np.ndarray,
+                   orbital_mask: np.ndarray) -> np.ndarray:
+    """Trace the cluster DM down to the orbitals selected by
+    ``orbital_mask`` [Nlat, Norb] (True = keep), with fermionic reordering
+    signs (get_sign, get_reduced_dm.f90:168-189).  Vectorised over all
+    (iup, idw, jup, jdw) labels at once."""
+    nimp = cfg.nimp
+    mask = np.asarray(orbital_mask, dtype=bool).ravel()   # level order
+    red = np.nonzero(mask)[0]
+    tr = np.nonzero(~mask)[0]
+    nred = len(red)
+    if nred == 0:
+        raise ValueError("reduced system needs at least one orbital")
+    if nred == nimp:
+        return cdm.copy()
+
+    n_full = 1 << nimp
+    labels = np.arange(n_full)
+    bits = (labels[:, None] >> np.arange(nimp)[None, :]) & 1   # [2^Nimp, Nimp]
+    # reduced / traced sub-labels
+    red_state = (bits[:, red] << np.arange(nred)).sum(axis=1)
+    tr_state = (bits[:, tr] << np.arange(len(tr))).sum(axis=1)
+    # fermionic sign: for each kept index r, count traced bits below r
+    filt = bits.copy()
+    filt[:, red] = 0
+    csum = np.cumsum(filt, axis=1)         # inclusive prefix sums
+    nswaps = np.zeros(n_full, dtype=np.int64)
+    for r in red:
+        nswaps += csum[:, r] - filt[:, r]  # strictly-below sum + own bit 0
+    # reference get_sign sums filtered(1:indices(r)) INCLUSIVE of r, but
+    # filtered(r)=0 for kept indices, so inclusive == exclusive here
+    sign = np.where(nswaps & 1 == 1, -1.0, 1.0)
+
+    n_red = 1 << nred
+    rdm = np.zeros((n_red * n_red, n_red * n_red), np.complex128)
+    # composite cluster index io = Iup + 2^Nimp * Idw; reduced likewise
+    cdm4 = cdm.reshape(n_full, n_full, n_full, n_full)   # [idw, iup, jdw, jup]
+    # Wait: io = IimpUp + 2^Nimp*IimpDw -> fastest index is UP.
+    # reshape with C-order gives [Idw, Iup] per axis pair.
+    for iup in range(n_full):
+        jups = np.nonzero(tr_state == tr_state[iup])[0]
+        for jup in jups:
+            s_up = sign[iup] * sign[jup]
+            ru_i, ru_j = red_state[iup], red_state[jup]
+            # vectorised over (idw, jdw) with matching traced dw labels
+            for idw in range(n_full):
+                jdws = np.nonzero(tr_state == tr_state[idw])[0]
+                s = s_up * sign[idw] * sign[jdws]
+                io = ru_i + n_red * red_state[idw]
+                jo = ru_j + n_red * red_state[jdws]
+                rdm[io, jo] += s * cdm4[idw, iup, jdws, jup]
+    return rdm
+
+
+def print_reduced_dm(cfg: EDConfig, rdm: np.ndarray,
+                     orbital_mask: np.ndarray) -> None:
+    mask = np.asarray(orbital_mask, dtype=bool)
+    sfx = ""
+    for il in range(cfg.nlat):
+        for io in range(cfg.norb):
+            if mask[il, io]:
+                sfx += f"_i{il+1}l{io+1}"
+    path = os.path.join(cfg.work_dir,
+                        f"reduced_density_matrix{sfx}.dat")
+    np.savetxt(path, np.column_stack([rdm.real.ravel(), rdm.imag.ravel()]))
+
+
+# ---------------------------------------------------------------------------
+# GFmatrix (pole/weight) serialization (save/read_gfprime,
+# ED_AUX_FUNX.f90:361-584)
+# ---------------------------------------------------------------------------
+
+def save_gfmatrix(cfg: EDConfig, spec: GFSpectrum, path: str) -> None:
+    """Plain-text serialization of the pole/weight spectrum."""
+    with open(path, "w") as fh:
+        for key, states in sorted(spec.data.items()):
+            for istate, chans in enumerate(states):
+                for ichan, ch in enumerate(chans):
+                    for p, w in zip(ch.poles, ch.weights):
+                        fh.write(f"{key[0]} {key[1]} {key[2]} {key[3]} "
+                                 f"{key[4]} {istate} {ichan} "
+                                 f"{p:26.18e} {w.real:26.18e} "
+                                 f"{w.imag:26.18e}\n")
+
+
+def read_gfmatrix(path: str) -> GFSpectrum:
+    from .gf import GFChannel
+    spec = GFSpectrum()
+    raw = {}
+    with open(path) as fh:
+        for line in fh:
+            t = line.split()
+            if len(t) != 10:
+                continue
+            key = tuple(int(x) for x in t[:5])
+            istate, ichan = int(t[5]), int(t[6])
+            raw.setdefault((key, istate, ichan), []).append(
+                (float(t[7]), float(t[8]) + 1j * float(t[9])))
+    for (key, istate, ichan), pw in sorted(raw.items()):
+        poles = np.array([x[0] for x in pw])
+        weights = np.array([x[1] for x in pw])
+        spec.add_channel(key, istate, GFChannel(poles, weights))
+    return spec

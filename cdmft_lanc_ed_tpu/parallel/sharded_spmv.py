@@ -1,0 +1,194 @@
+"""Sharded sector H·v: the multi-chip hot kernel.
+
+TPU-native re-design of the reference's MPI-parallel matvec
+(/root/reference/ED_HAMILTONIAN_SPARSE_HxV.f90:230-315 and the AllToAllV
+transpose ED_HAMILTONIAN_COMMON.f90:30-101): the sector vector, viewed as the
+matrix ``v[DimDw, DimUp]``, is sharded along the dw axis over a 1-D device
+mesh.  The tensor-product structure maps onto the mesh exactly like
+Ulysses-style sequence parallelism (SURVEY.md section 5.7):
+
+* ``I (x) H_up`` — row-gather along the **up** axis: local on every shard;
+* ``H_dw (x) I`` — requires the dw axis: the vector is transposed with ONE
+  ``jax.lax.all_to_all`` (ICI), the gather applied locally in transposed
+  layout, and transposed back with a second all-to-all;
+* the diagonal is elementwise-local;
+* the Jx/Jp Kronecker-factor terms fold into the same two all-to-alls (the
+  up factor is applied before the transpose, the dw factor while transposed)
+  — the reference instead allgathers the FULL vector for these terms
+  (ED_HAMILTONIAN_SPARSE_HxV.f90:299-313).
+
+Shapes are padded to multiples of the mesh size on host so every shard is
+static — no communicator shrinking (the reference's MPI_Group_Incl dance,
+ED_HAMILTONIAN.f90:62-89): tiny sectors are solved on a single chip or
+batched instead (see sector scheduler).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.sector_ham import SectorOperator
+from ..ops.spmv import DeviceSectorOp
+
+jax.config.update("jax_enable_x64", True)
+
+
+def _pad_to(x: np.ndarray, axis: int, mult: int, fill=0):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths, constant_values=fill)
+
+
+def pad_device_op(op: SectorOperator, ndev: int,
+                  dtype=jnp.complex128) -> DeviceSectorOp:
+    """Host-side padded device operator: DimDw and DimUp padded to multiples
+    of ``ndev``.  Padded rows have zero diagonal/values so they contribute
+    nothing; gather indices in the padded range point at row 0 (zero vals)."""
+    rdtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    diag = _pad_to(_pad_to(op.diag(), 0, ndev), 1, ndev)
+    up_cols = _pad_to(op.h_up.cols, 0, ndev)
+    up_vals = _pad_to(op.h_up.vals, 0, ndev)
+    dw_cols = _pad_to(op.h_dw.cols, 0, ndev)
+    dw_vals = _pad_to(op.h_dw.vals, 0, ndev)
+    t = len(op.nd_terms)
+    if t:
+        nd_amp = np.array([x.amp for x in op.nd_terms])
+        nd_us = _pad_to(np.stack([x.up_src for x in op.nd_terms]), 1, ndev)
+        nd_ug = _pad_to(np.stack([x.up_sgn for x in op.nd_terms]), 1, ndev)
+        nd_ds = _pad_to(np.stack([x.dw_src for x in op.nd_terms]), 1, ndev)
+        nd_dg = _pad_to(np.stack([x.dw_sgn for x in op.nd_terms]), 1, ndev)
+    else:
+        du = diag.shape[1]
+        dd = diag.shape[0]
+        nd_amp = np.zeros(0, np.complex128)
+        nd_us = np.zeros((0, du), np.int32)
+        nd_ug = np.zeros((0, du), np.int8)
+        nd_ds = np.zeros((0, dd), np.int32)
+        nd_dg = np.zeros((0, dd), np.int8)
+    return DeviceSectorOp(
+        diag=jnp.asarray(diag, rdtype),
+        up_cols=jnp.asarray(up_cols, jnp.int32),
+        up_vals=jnp.asarray(up_vals, dtype),
+        dw_cols=jnp.asarray(dw_cols, jnp.int32),
+        dw_vals=jnp.asarray(dw_vals, dtype),
+        nd_amp=jnp.asarray(nd_amp, dtype),
+        nd_up_src=jnp.asarray(nd_us, jnp.int32),
+        nd_up_sgn=jnp.asarray(nd_ug, jnp.int8),
+        nd_dw_src=jnp.asarray(nd_ds, jnp.int32),
+        nd_dw_sgn=jnp.asarray(nd_dg, jnp.int8),
+    )
+
+
+def shard_local_kernel(axis: str):
+    """Per-shard H·v body used by both the single-sector and the batched
+    (sector-parallel) sharded matvecs.  v is the local [dw_loc, DimUp]
+    block; collectives run over mesh axis ``axis``."""
+
+    def kernel(diag, up_cols, up_vals, dw_cols, dw_vals, nd_amp,
+               nd_up_src, nd_up_sgn, nd_dw_src, nd_dw_sgn, v):
+        out = diag.astype(v.dtype) * v
+        g = v[:, up_cols]                                 # [dw_loc, R, K]
+        out = out + jnp.einsum("rk,drk->dr", up_vals, g)
+        tcount = nd_amp.shape[0]
+        if tcount:
+            def up_fac(usrc, usgn):
+                return v[:, jnp.maximum(usrc, 0)] \
+                    * usgn[None, :].astype(v.dtype)
+            t_up = jax.vmap(up_fac)(nd_up_src, nd_up_sgn)
+            payload = jnp.concatenate([v[None], t_up], axis=0)
+        else:
+            payload = v[None]
+        # all-to-all transpose (the MPI AllToAllV analog,
+        # ED_HAMILTONIAN_COMMON.f90:30-101)
+        pt = jax.lax.all_to_all(payload, axis, split_axis=2,
+                                concat_axis=1, tiled=True)
+        vt = pt[0]                                        # [DimDw, up_loc]
+        gt = vt[dw_cols]                                  # [DimDw, K, up_loc]
+        yt = jnp.einsum("rk,rkc->rc", dw_vals, gt)        # [DimDw, up_loc]
+        if tcount:
+            def dw_fac(t_i, dsrc, dsgn, amp):
+                return amp * t_i[jnp.maximum(dsrc, 0)] \
+                    * dsgn[:, None].astype(t_i.dtype)
+            y_nd = jax.vmap(dw_fac)(pt[1:], nd_dw_src, nd_dw_sgn, nd_amp)
+            yt = yt + y_nd.sum(axis=0)
+        # transpose back
+        y = jax.lax.all_to_all(yt[None], axis, split_axis=1,
+                               concat_axis=2, tiled=True)[0]
+        return out + y
+
+    return kernel
+
+
+def make_sharded_matvec(op: DeviceSectorOp, mesh: Mesh, axis: str = "dw"):
+    """Returns (matvec, sharding): ``matvec`` maps v [DimDw_p, DimUp_p]
+    (sharded ``P(axis, None)``) to H·v with the same sharding; compiled once
+    per sector shape.  Implements the two-all-to-all transpose scheme."""
+    ndev = mesh.shape[axis]
+    dd, du = op.diag.shape
+    assert dd % ndev == 0 and du % ndev == 0
+    sh = NamedSharding(mesh, P(axis, None))
+
+    # Operator data placement: the diagonal is sharded with the vector; the
+    # H_up and H_dw ELL blocks are replicated on all shards (exactly like the
+    # reference replicates spH0ups/spH0dws on every rank,
+    # ED_HAMILTONIAN_SPARSE_HxV.f90:96-110 — they are O(Dim_s * K), tiny
+    # relative to the vector).  H_dw must be replicated because it is applied
+    # in the TRANSPOSED layout where every shard owns all dw rows.
+    spec_of = {
+        "diag": P(axis, None),
+        "up_cols": P(None, None), "up_vals": P(None, None),
+        "dw_cols": P(None, None), "dw_vals": P(None, None),
+        "nd_amp": P(None), "nd_up_src": P(None, None),
+        "nd_up_sgn": P(None, None),
+        "nd_dw_src": P(None, None), "nd_dw_sgn": P(None, None),
+    }
+
+    op_sh = DeviceSectorOp(**{
+        name: jax.device_put(getattr(op, name), NamedSharding(mesh, spec))
+        for name, spec in spec_of.items()})
+
+    kernel = shard_local_kernel(axis)
+
+    @jax.jit
+    def matvec(v):
+        return jax.shard_map(
+            kernel, mesh=mesh,
+            in_specs=tuple(spec_of[k] for k in
+                           ("diag", "up_cols", "up_vals", "dw_cols",
+                            "dw_vals", "nd_amp", "nd_up_src", "nd_up_sgn",
+                            "nd_dw_src", "nd_dw_sgn")) + (P(axis, None),),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )(op_sh.diag, op_sh.up_cols, op_sh.up_vals, op_sh.dw_cols,
+          op_sh.dw_vals, op_sh.nd_amp, op_sh.nd_up_src, op_sh.nd_up_sgn,
+          op_sh.nd_dw_src, op_sh.nd_dw_sgn, v)
+
+    return matvec, sh
+
+
+def sharded_matvec_flat(op: DeviceSectorOp, mesh: Mesh, dim_dw: int,
+                        dim_up: int, axis: str = "dw"):
+    """Flat [dim] -> [dim] matvec closure over the padded 2-D kernel, for
+    the eigensolvers.  Handles padding/unpadding on device."""
+    mv2d, sh = make_sharded_matvec(op, mesh, axis)
+    dd_p, du_p = op.diag.shape
+
+    @jax.jit
+    def mv(v):
+        v2 = v.reshape(dim_dw, dim_up)
+        v2 = jnp.pad(v2, ((0, dd_p - dim_dw), (0, du_p - dim_up)))
+        v2 = jax.lax.with_sharding_constraint(v2, sh)
+        out = mv2d(v2)
+        return out[:dim_dw, :dim_up].reshape(-1)
+
+    return mv

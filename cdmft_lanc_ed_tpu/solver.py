@@ -133,6 +133,17 @@ class EDSolver:
             self.cdm = cluster_density_matrix(cfg, self.diag_state)
             self.spdm = single_particle_density_matrix(cfg, self.diag_state)
 
+        # text-file output (ed_print_* flags; ED_MAIN.f90 print stage)
+        from . import io as ed_io
+        if cfg.gf_flag and cfg.ed_print_sigma:
+            ed_io.print_impsigma(cfg, self.gf)
+        if cfg.gf_flag and cfg.ed_print_g:
+            ed_io.print_impg(cfg, self.gf)
+        if cfg.gf_flag and cfg.ed_print_g0:
+            ed_io.print_impg0(cfg, self.gf)
+        ed_io.write_observables(cfg, self.obs, self.egs, cfg.ed_file_suffix)
+        ed_io.write_energy(cfg, self.energy)
+
     # -- getters (ED_IO.f90:241-289 equivalents) ------------------------
     @property
     def egs(self) -> float:
@@ -170,3 +181,16 @@ class EDSolver:
 
     def sp_dm(self) -> Optional[np.ndarray]:
         return self.spdm
+
+    def gf_cluster(self, z: np.ndarray) -> np.ndarray:
+        """Cluster GF at arbitrary complex frequencies from the stored
+        pole/weight spectrum (ed_gf_cluster, ED_IO/gf_cluster.f90)."""
+        from .gf import evaluate_gf_nnn
+        return evaluate_gf_nnn(self.gf.spectrum, self.cfg, np.asarray(z))
+
+    def reduced_dm(self, orbital_mask) -> np.ndarray:
+        """ed_get_reduced_dm: partial trace of the cluster DM."""
+        from .io import get_reduced_dm
+        if self.cdm is None:
+            self.cdm = cluster_density_matrix(self.cfg, self.diag_state)
+        return get_reduced_dm(self.cfg, self.cdm, orbital_mask)

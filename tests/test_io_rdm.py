@@ -1,0 +1,85 @@
+"""IO round-trips and reduced density matrices vs semi-analytics."""
+import numpy as np
+import pytest
+
+from cdmft_lanc_ed_tpu import EDConfig, EDSolver
+from cdmft_lanc_ed_tpu import io as ed_io
+
+
+def plaquette_solver(tmp_path, **kw):
+    h = np.zeros((4, 4, 1, 1, 1, 1), dtype=complex)
+    for (i, j) in [(0, 1), (0, 2), (1, 3), (2, 3)]:
+        h[i, j, 0, 0, 0, 0] = h[j, i, 0, 0, 0, 0] = -1.0
+    base = dict(nlat=4, norb=1, nspin=1, nbath=0, uloc=[4.0], lmats=16,
+                lreal=16, lanc_ngfiter=48, ed_verbose=0, dm_flag=True,
+                work_dir=str(tmp_path))
+    base.update(kw)
+    cfg = EDConfig(**base)
+    s = EDSolver(cfg)
+    s.init_solver()
+    s.solve(np.zeros(0), h)
+    return s
+
+
+def test_local_rdm_semianalytic(tmp_path):
+    """Reference in-driver check (cdn_hm_2dsquare.f90:443-464): the 1-site
+    RDM must equal diag{1-nup-ndw+d, nup-d, ndw-d, d}."""
+    s = plaquette_solver(tmp_path, gf_flag=False)
+    rdm = s.reduced_dm(np.array([[True], [False], [False], [False]]))
+    assert rdm.shape == (4, 4)
+    nup = s.obs.dens_up[0, 0]
+    ndw = s.obs.dens_dw[0, 0]
+    d = s.obs.docc[0, 0]
+    want = np.diag([1 - nup - ndw + d, nup - d, ndw - d, d])
+    np.testing.assert_allclose(rdm, want, atol=1e-8)
+
+
+def test_rdm_two_sites_trace_consistency(tmp_path):
+    """2-site RDM: unit trace, hermitian; tracing one more site must give
+    the same 1-site RDM as tracing directly."""
+    s = plaquette_solver(tmp_path, gf_flag=False)
+    rdm2 = s.reduced_dm(np.array([[True], [True], [False], [False]]))
+    assert rdm2.shape == (16, 16)
+    assert np.trace(rdm2).real == pytest.approx(1.0, abs=1e-10)
+    np.testing.assert_allclose(rdm2, rdm2.conj().T, atol=1e-10)
+    # consistency: trace site 1 out of the 2-site rdm == direct 1-site rdm
+    rdm1 = s.reduced_dm(np.array([[True], [False], [False], [False]]))
+    # manual trace of site-1 (level index 1 of 2) from rdm2
+    acc = np.zeros((4, 4), complex)
+    for bu in range(2):
+        for bd in range(2):
+            idx = [(a + 2 * bu) + 4 * (c + 2 * bd)
+                   for c in range(2) for a in range(2)]
+            # build index list for kept (a up, c dw) labels
+    # simpler: use get_reduced_dm on a fake 2-level cfg
+    cfg2 = EDConfig(nlat=2, norb=1, nspin=1, nbath=0)
+    sub = ed_io.get_reduced_dm(cfg2, rdm2, np.array([[True], [False]]))
+    np.testing.assert_allclose(sub, rdm1, atol=1e-10)
+
+
+def test_print_and_read_sigma_roundtrip(tmp_path):
+    s = plaquette_solver(tmp_path, gf_flag=True, ed_print_sigma=True)
+    sm, sr = ed_io.read_impsigma(s.cfg)
+    np.testing.assert_allclose(sm, s.gf.smats, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(sr, s.gf.sreal, rtol=1e-12, atol=1e-14)
+
+
+def test_gfmatrix_serialization_roundtrip(tmp_path):
+    s = plaquette_solver(tmp_path, gf_flag=True)
+    path = str(tmp_path / "gfmatrix.ed")
+    ed_io.save_gfmatrix(s.cfg, s.gf.spectrum, path)
+    spec2 = ed_io.read_gfmatrix(path)
+    z = np.array([0.3 + 0.1j, 2.0j, -1.5 + 0.01j])
+    for key in s.gf.spectrum.data:
+        np.testing.assert_allclose(spec2.evaluate(key, z),
+                                   s.gf.spectrum.evaluate(key, z),
+                                   atol=1e-10)
+
+
+def test_gf_cluster_matches_gmats(tmp_path):
+    """ed_gf_cluster evaluated on the Matsubara grid must reproduce
+    impGmats."""
+    s = plaquette_solver(tmp_path, gf_flag=True)
+    z = 1j * s.gf.wm
+    g = s.gf_cluster(z)
+    np.testing.assert_allclose(g, s.gf.gmats, atol=1e-12)

@@ -1,0 +1,71 @@
+"""Sharded SpMV vs single-device matvec on the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cdmft_lanc_ed_tpu import EDConfig
+from cdmft_lanc_ed_tpu.ops import sector_ham, spmv
+from cdmft_lanc_ed_tpu.parallel import sharded_spmv
+
+
+def make_op(nup=3, ndw=3, jx=0.0, jp=0.0, norb=1, nlat=2, nbath=2):
+    cfg = EDConfig(nlat=nlat, norb=norb, nspin=1, nbath=nbath,
+                   uloc=[3.0, 1.5, 0, 0, 0], ust=0.4, jh=0.1, jx=jx, jp=jp,
+                   ed_verbose=0)
+    rng = np.random.default_rng(7)
+    nn = (cfg.nlat, cfg.nlat, cfg.nspin, cfg.nspin, cfg.norb, cfg.norb)
+    h = rng.normal(size=nn) + 1j * rng.normal(size=nn)
+    h = 0.5 * (h + h.conj().transpose(1, 0, 3, 2, 5, 4))
+    hrec = rng.normal(size=(cfg.nbath,) + nn) * 0.5
+    hrec = 0.5 * (hrec + hrec.transpose(0, 2, 1, 4, 3, 6, 5))
+    hrec = hrec.astype(np.complex128)
+    dhyb = rng.normal(size=(cfg.nlat, cfg.nspin, cfg.norb, cfg.nbath))
+    return cfg, sector_ham.build_sector_operator(cfg, h, hrec, dhyb,
+                                                 nup, ndw)
+
+
+@pytest.fixture
+def mesh8():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
+    return Mesh(np.array(devs[:8]), ("dw",))
+
+
+def test_sharded_matvec_matches_local(mesh8):
+    cfg, op = make_op()
+    dev = sharded_spmv.pad_device_op(op, 8)
+    mv = sharded_spmv.sharded_matvec_flat(dev, mesh8, op.dim_dw, op.dim_up)
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim)
+    want = op.matvec_np(v)
+    got = np.asarray(mv(jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_sharded_matvec_with_jxjp(mesh8):
+    """Non-factorable Jx/Jp terms through the folded all-to-all path."""
+    cfg, op = make_op(norb=2, nlat=1, nbath=3, nup=3, ndw=2, jx=0.25,
+                      jp=0.15)
+    assert len(op.nd_terms) > 0
+    dev = sharded_spmv.pad_device_op(op, 8)
+    mv = sharded_spmv.sharded_matvec_flat(dev, mesh8, op.dim_dw, op.dim_up)
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim)
+    want = op.matvec_np(v)
+    got = np.asarray(mv(jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_sharded_lanczos_groundstate(mesh8):
+    """Full Lanczos eigensolve through the sharded matvec: same GS energy
+    as dense diagonalization."""
+    from cdmft_lanc_ed_tpu.ops import lanczos
+    cfg, op = make_op()
+    dev = sharded_spmv.pad_device_op(op, 8)
+    mv = sharded_spmv.sharded_matvec_flat(dev, mesh8, op.dim_dw, op.dim_up)
+    res = lanczos.lanczos_eigh(mv, op.dim, neigen=2, ncv=24, maxiter=400,
+                               tol=1e-12)
+    w_dense = np.linalg.eigvalsh(op.to_dense())
+    np.testing.assert_allclose(res.eigenvalues, w_dense[:2], atol=1e-8)
