@@ -24,24 +24,25 @@ def main():
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import __graft_entry__ as ge
-    from cdmft_lanc_ed_tpu.ops import spmv
+    from cdmft_lanc_ed_tpu.ops import split
 
     _, op = ge._plaquette_bath_op(nbath=2, nup=6, ndw=6)
-    dev = spmv.to_device(op)
+    dev = split.to_device_split(op)
     dd, du = dev.diag.shape
     nnz = op.nnz
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
     def chain(v, steps):
         def body(v, _):
-            w = spmv.matvec_2d(dev, v)
-            return w / jnp.linalg.norm(w), None
+            w = split.matvec_2d_split(dev, v)
+            return w / jnp.sqrt(jnp.sum(w ** 2)), None
         v, _ = jax.lax.scan(body, v, None, length=steps)
         return v
 
     rng = np.random.default_rng(0)
-    v = jnp.asarray((rng.normal(size=(dd, du))
-                     + 1j * rng.normal(size=(dd, du))) / np.sqrt(op.dim))
+    v = jnp.asarray(rng.normal(size=(2, dd, du)) / np.sqrt(2 * op.dim))
 
     # warmup/compile
     out = chain(v, 2)

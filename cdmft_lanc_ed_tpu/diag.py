@@ -115,11 +115,19 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
         t0 = time.time()
         op = build(nup, ndw)
         if lanc_solve:
-            dev = spmv.to_device(op)
-            mv = spmv.make_matvec(dev)
-            res = lanczos.lanczos_eigh(
-                mv, dim, neigen=neigen, ncv=nblock, maxiter=nitermax * nblock,
-                tol=cfg.lanc_tolerance)
+            if spmv.use_split_backend():
+                from .ops import split
+                dev_s = split.to_device_split(op)
+                mv_s = split.make_matvec_split(dev_s)
+                res = lanczos.lanczos_eigh_split(
+                    mv_s, dim, neigen=neigen, ncv=nblock,
+                    maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
+            else:
+                dev = spmv.to_device(op)
+                mv = spmv.make_matvec(dev)
+                res = lanczos.lanczos_eigh(
+                    mv, dim, neigen=neigen, ncv=nblock,
+                    maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
             eig_values = np.asarray(res.eigenvalues)
             eig_basis = np.asarray(res.eigenvectors)      # [neigen, dim]
         else:

@@ -217,12 +217,18 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
 
     # device operator cache per target sector within this build
     op_cache: Dict[Tuple[int, int], object] = {}
+    use_split = spmv.use_split_backend()
 
     def matvec_for(jnup, jndw):
         key = (jnup, jndw)
         if key not in op_cache:
-            dev = spmv.to_device(build(jnup, jndw))
-            op_cache[key] = spmv.make_matvec(dev)
+            if use_split:
+                from .ops import split as split_mod
+                dev = split_mod.to_device_split(build(jnup, jndw))
+                op_cache[key] = split_mod.make_matvec_split(dev)
+            else:
+                dev = spmv.to_device(build(jnup, jndw))
+                op_cache[key] = spmv.make_matvec(dev)
         return op_cache[key]
 
     for istate, st in enumerate(state.state_list):
@@ -260,8 +266,14 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                 batch = np.stack(vecs)
                 nlanc = min(batch.shape[1], cfg.lanc_ngfiter)
                 mv = matvec_for(jnup, jndw)
-                alphas, betas, norms = lanczos.lanczos_tridiag_batched(
-                    mv, jnp.asarray(batch), nlanc)
+                if use_split:
+                    from .ops.split import split_of
+                    alphas, betas, norms = \
+                        lanczos.lanczos_tridiag_batched_split(
+                            mv, jnp.asarray(split_of(batch)), nlanc)
+                else:
+                    alphas, betas, norms = lanczos.lanczos_tridiag_batched(
+                        mv, jnp.asarray(batch), nlanc)
                 for k, ((a, b), vfac) in enumerate(meta):
                     ch = _chain_to_poles(alphas[k], betas[k],
                                          float(norms[k]), vfac, ei, egs,

@@ -110,6 +110,141 @@ def lanczos_tridiag_batched(matvec, v0: jax.Array, niter: int):
             np.asarray(norms0))
 
 
+def lanczos_tridiag_batched_split(matvec, v0: jax.Array, niter: int):
+    """Split-representation batched tridiagonalisation (TPU path).
+
+    v0 : [B, 2, dim] f64; ``matvec`` maps one [2, dim].  Returns the same
+    host arrays as :func:`lanczos_tridiag_batched`."""
+    b = v0.shape[0]
+    norms0 = jnp.sqrt(jnp.sum(v0 ** 2, axis=(1, 2)))
+    mv = jax.vmap(matvec)
+
+    @jax.jit
+    def run(v0n):
+        def step(carry, _):
+            v_prev, v, beta_prev = carry
+            w = mv(v)
+            alpha = jnp.sum(v * w, axis=(1, 2))      # Re<v|w>
+            w = w - alpha[:, None, None] * v - beta_prev[:, None, None] * v_prev
+            beta = jnp.sqrt(jnp.sum(w ** 2, axis=(1, 2)))
+            v_next = jnp.where((beta > 1e-200)[:, None, None],
+                               w / jnp.maximum(beta, 1e-300)[:, None, None],
+                               0.0)
+            return (v, v_next, beta), (alpha, beta)
+
+        carry = (jnp.zeros_like(v0n), v0n, jnp.zeros(b, v0n.dtype))
+        _, (alphas, betas) = jax.lax.scan(step, carry, None, length=niter)
+        return alphas.T, betas.T
+
+    v0n = v0 / jnp.maximum(norms0, 1e-300)[:, None, None]
+    alphas, betas = run(v0n)
+    return (np.asarray(alphas), np.asarray(betas)[:, : niter - 1],
+            np.asarray(norms0))
+
+
+def _expand_step_split(matvec):
+    """Split-representation CGS2 expansion step (TPU path)."""
+
+    @jax.jit
+    def step(basis, j):
+        # basis: [ncv+1, 2, dim] f64
+        ncv1 = basis.shape[0]
+        v = basis[j]
+        w = matvec(v)
+        mask = (jnp.arange(ncv1) <= j)
+        vr, vi = basis[:, 0], basis[:, 1]
+
+        def proj(wr, wi):
+            cr = jnp.where(mask, vr @ wr + vi @ wi, 0.0)
+            ci = jnp.where(mask, vr @ wi - vi @ wr, 0.0)
+            return cr, ci
+
+        c1r, c1i = proj(w[0], w[1])
+        wr = w[0] - (c1r @ vr - c1i @ vi)
+        wi = w[1] - (c1r @ vi + c1i @ vr)
+        c2r, c2i = proj(wr, wi)
+        wr = wr - (c2r @ vr - c2i @ vi)
+        wi = wi - (c2r @ vi + c2i @ vr)
+        beta = jnp.sqrt(jnp.sum(wr ** 2 + wi ** 2))
+        denom = jnp.maximum(beta, 1e-300)
+        basis = basis.at[j + 1].set(jnp.stack([wr / denom, wi / denom]))
+        return basis, (c1r + c2r, c1i + c2i), beta
+
+    return step
+
+
+def lanczos_eigh_split(matvec, dim: int, neigen: int, ncv: int,
+                       maxiter: int = 512, tol: float = 1e-14,
+                       v0: Optional[np.ndarray] = None,
+                       seed: int = 8527) -> EighResult:
+    """Thick-restart Lanczos on the split representation (TPU path).
+    Same semantics as :func:`lanczos_eigh`; eigenvectors are returned as a
+    host complex array [neigen, dim]."""
+    neigen = min(neigen, dim)
+    ncv = int(min(max(ncv, neigen + 2), dim))
+    eps = float(np.finfo(np.float64).eps)
+    tol = max(tol, eps)
+
+    rng = np.random.default_rng(seed)
+    if v0 is None:
+        v0 = rng.normal(size=(2, dim))
+    else:
+        v0 = np.stack([np.real(v0), np.imag(v0)])
+    v0 = v0 / np.linalg.norm(v0)
+
+    basis = jnp.zeros((ncv + 1, 2, dim)).at[0].set(jnp.asarray(v0))
+    t_proj = np.zeros((ncv, ncv), dtype=np.complex128)
+    step = _expand_step_split(matvec)
+
+    @jax.jit
+    def restart_basis(basis, sr, si):
+        # new rows i = sum_j s[j,i] V_j  (s complex, basis split)
+        vr, vi = basis[:ncv, 0], basis[:ncv, 1]
+        nr = sr.T @ vr - si.T @ vi
+        ni = sr.T @ vi + si.T @ vr
+        return jnp.stack([nr, ni], axis=1)        # [k, 2, dim]
+
+    k = 0
+    nmv = 0
+    while True:
+        for j in range(k, ncv):
+            basis, (cr, ci), beta = step(basis, j)
+            col = np.asarray(cr)[:ncv] + 1j * np.asarray(ci)[:ncv]
+            t_proj[: j + 1, j] = col[: j + 1]
+            t_proj[j, : j + 1] = col[: j + 1].conj()
+            beta_f = float(beta)
+            if j + 1 < ncv:
+                t_proj[j + 1, j] = beta_f
+                t_proj[j, j + 1] = beta_f
+            nmv += 1
+        last_beta = beta_f
+
+        theta, s = np.linalg.eigh(t_proj)
+        resid = np.abs(last_beta * s[-1, :])
+        conv = resid[:neigen] <= tol * np.maximum(np.abs(theta[:neigen]), 1.0)
+        if bool(conv.all()) or nmv >= maxiter or ncv >= dim:
+            sr = jnp.asarray(np.ascontiguousarray(s[:, :neigen].real))
+            si = jnp.asarray(np.ascontiguousarray(s[:, :neigen].imag))
+            vecs_split = np.asarray(restart_basis(basis, sr, si))
+            vecs = vecs_split[:, 0] + 1j * vecs_split[:, 1]
+            nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / np.maximum(nrm, 1e-300)
+            return EighResult(theta[:neigen].copy(), vecs, nmv,
+                              bool(conv.all()))
+
+        k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+        sr = jnp.asarray(np.ascontiguousarray(s[:, :k].real))
+        si = jnp.asarray(np.ascontiguousarray(s[:, :k].imag))
+        new_rows = restart_basis(basis, sr, si)
+        basis = jnp.zeros_like(basis).at[:k].set(new_rows) \
+            .at[k].set(basis[ncv])
+        t_proj[:] = 0.0
+        t_proj[:k, :k] = np.diag(theta[:k])
+        b_row = last_beta * s[-1, :k].conj()
+        t_proj[k, :k] = b_row
+        t_proj[:k, k] = b_row.conj()
+
+
 # ---------------------------------------------------------------------------
 # thick-restart Lanczos with full reorthogonalisation
 # ---------------------------------------------------------------------------

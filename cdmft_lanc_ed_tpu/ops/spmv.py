@@ -29,6 +29,16 @@ from .sector_ham import SectorOperator
 jax.config.update("jax_enable_x64", True)
 
 
+def use_split_backend() -> bool:
+    """True when the device path must use split re/im f64 (TPU: complex128
+    is not usable on the target backend — see ops/split.py)."""
+    import os
+    env = os.environ.get("CDMFT_SPLIT_BACKEND")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceSectorOp:
