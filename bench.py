@@ -27,7 +27,7 @@ def main():
     from cdmft_lanc_ed_tpu.ops import split
 
     _, op = ge._plaquette_bath_op(nbath=2, nup=6, ndw=6)
-    dev = split.to_device_split(op)
+    dev = split.to_device_dense_split(op)
     dd, du = dev.diag.shape
     nnz = op.nnz
 
@@ -36,7 +36,7 @@ def main():
     @partial(jax.jit, static_argnums=1)
     def chain(v, steps):
         def body(v, _):
-            w = split.matvec_2d_split(dev, v)
+            w = split.matvec_2d_dense_split(dev, v)
             return w / jnp.sqrt(jnp.sum(w ** 2)), None
         v, _ = jax.lax.scan(body, v, None, length=steps)
         return v

@@ -117,8 +117,7 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
         if lanc_solve:
             if spmv.use_split_backend():
                 from .ops import split
-                dev_s = split.to_device_split(op)
-                mv_s = split.make_matvec_split(dev_s)
+                mv_s = split.make_matvec_tpu(op)
                 res = lanczos.lanczos_eigh_split(
                     mv_s, dim, neigen=neigen, ncv=nblock,
                     maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)

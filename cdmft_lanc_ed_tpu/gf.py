@@ -224,8 +224,7 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
         if key not in op_cache:
             if use_split:
                 from .ops import split as split_mod
-                dev = split_mod.to_device_split(build(jnup, jndw))
-                op_cache[key] = split_mod.make_matvec_split(dev)
+                op_cache[key] = split_mod.make_matvec_tpu(build(jnup, jndw))
             else:
                 dev = spmv.to_device(build(jnup, jndw))
                 op_cache[key] = spmv.make_matvec(dev)
