@@ -249,6 +249,16 @@ def _one_body_terms(cfg: EDConfig, imp_hloc: np.ndarray,
 def _spin_hop_ell(states: np.ndarray,
                   terms: List[Tuple[int, int, complex]]) -> EllMatrix:
     n = len(states)
+    if terms:
+        # native batched path (tables.cpp hop_entries_multi)
+        from ..native.loader import native_hop_entries_multi
+        a = np.array([t[0] for t in terms], np.int32)
+        b = np.array([t[1] for t in terms], np.int32)
+        amps = np.array([t[2] for t in terms], np.complex128)
+        res = native_hop_entries_multi(states, a, b)
+        if res is not None:
+            rows, cols, signs, tid = res
+            return _coo_to_ell(n, rows, cols, amps[tid] * signs)
     rows_all, cols_all, vals_all = [], [], []
     for a, b, amp in terms:
         rows, cols, signs = fock.hop_entries(states, a, b)

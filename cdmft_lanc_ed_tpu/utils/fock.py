@@ -115,6 +115,11 @@ def sector_states(ns: int, n: int) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     if n == 0:
         return np.zeros(1, dtype=np.int64)
+    # native fast path (Gosper's hack, cdmft_lanc_ed_tpu/native/tables.cpp)
+    from ..native.loader import native_sector_states
+    out = native_sector_states(ns, n)
+    if out is not None:
+        return out
     if ns <= 22:
         allstates = np.arange(1 << ns, dtype=np.int64)
         return allstates[popcount(allstates) == n]
