@@ -1,0 +1,70 @@
+"""Model-family physics anchors: Kane-Mele, kagome, SSH, BHZ bands."""
+import numpy as np
+import pytest
+
+from cdmft_lanc_ed_tpu.models import bhz, kagome, kanemele, ssh
+
+
+def test_kanemele_geometry_counts():
+    from collections import Counter
+    nn, nnn = Counter(), Counter()
+    for (i, j, cell, kind, nu) in kanemele._BONDS:
+        (nn if kind == "nn" else nnn)[i] += 1
+        if kind == "nnn":
+            assert nu in (-1, 1)
+    assert all(v == 3 for v in nn.values())
+    assert all(v == 6 for v in nnn.values())
+
+
+def test_kanemele_gap_and_graphene_limit():
+    hk, _ = kanemele.kanemele_cluster_hk(6, 1.0, 0.0, 0.0)
+    evs = np.sort(np.concatenate([np.linalg.eigvalsh(h) for h in hk]))
+    assert abs(evs.min() + evs.max()) < 1e-8      # PH symmetric
+    lam = 0.05
+    hk2, _ = kanemele.kanemele_cluster_hk(24, 1.0, 0.0, lam)
+    gap = min(np.linalg.eigvalsh(h)[6] - np.linalg.eigvalsh(h)[5]
+              for h in hk2)
+    assert gap == pytest.approx(6 * np.sqrt(3) * lam, abs=1e-6)
+    for h in hk2[:4]:
+        np.testing.assert_allclose(h, h.conj().T, atol=1e-12)
+
+
+def test_kagome_flat_band():
+    """Kagome with hopping -ts: flat band at +2*ts (top), Dirac bands
+    below; bandwidth of dispersive bands = 6*ts."""
+    ts = 1.0
+    hk, hloc = kagome.kagome_cluster_hk(24, ts)
+    evs = np.stack([np.linalg.eigvalsh(h) for h in hk])
+    # the flat band: max eigenvalue = 2*ts everywhere
+    np.testing.assert_allclose(evs[:, 2], 2.0 * ts, atol=1e-10)
+    assert evs.min() == pytest.approx(-4.0 * ts, abs=1e-6)
+    # 4 NN bonds per site inside the infinite lattice
+    from collections import Counter
+    cnt = Counter()
+    for (i, j, c) in kagome._BONDS:
+        cnt[i] += 1
+    assert all(v == 4 for v in cnt.values())
+
+
+def test_ssh_gap():
+    """SSH: gap = 2*t*|(1+d) - (1-d)| = 4*t*|d| at k = pi."""
+    t, d = 1.0, 0.2
+    hk, _ = ssh.ssh_cluster_hk(1, 128, t, d)
+    evs = np.stack([np.linalg.eigvalsh(h) for h in hk])
+    gap = (evs[:, 1] - evs[:, 0]).min()
+    assert gap == pytest.approx(4 * t * abs(d), abs=1e-3)
+    # full bandwidth: 2*t*(1+d) + ... top of band at 2t
+    assert evs.max() == pytest.approx(2.0 * t, abs=1e-3)
+
+
+def test_bhz_band_inversion():
+    """BHZ single cell: gap at Gamma = 2|Mh - 4 ts| -> closes at Mh=4ts."""
+    ts = 0.25
+    for mh, gapw in ((0.5, None), (4 * ts, 0.0)):
+        hk, _ = bhz.bhz_cluster_hk(1, 1, 24, mh, ts, 0.3)
+        evs = np.stack([np.linalg.eigvalsh(h) for h in hk])
+        gap = (evs[:, 2] - evs[:, 1]).min()
+        if gapw is not None:
+            assert gap == pytest.approx(gapw, abs=0.05)
+        else:
+            assert gap > 0.1
