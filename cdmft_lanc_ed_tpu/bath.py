@@ -273,6 +273,60 @@ def read_dmft_bath(cfg: EDConfig, nsym: int, path: str) -> DmftBath:
 
 
 # ---------------------------------------------------------------------------
+# user symmetry helpers (ED_BATH/user_aux.f90:112-157) + Hbath_mask
+# ---------------------------------------------------------------------------
+
+def impose_equal_lambda(cfg: EDConfig, bath_array, ibath: int,
+                        lambda_indices) -> np.ndarray:
+    """Average the chosen lambda components of replica ``ibath`` (0-based)
+    and set them all to the average (impose_equal_lambda,
+    user_aux.f90:112-133)."""
+    bath = unpack_dmft_bath(cfg, bath_array)
+    idx = np.asarray(lambda_indices, dtype=int)
+    val = bath.lam[ibath, idx].mean()
+    bath.lam[ibath, idx] = val
+    return pack_dmft_bath(cfg, bath)
+
+
+def impose_bath_offset(cfg: EDConfig, bath_array, ibath: int,
+                       offset: float) -> np.ndarray:
+    """Set the identity-like lambda component of replica ``ibath`` to
+    ``offset`` (impose_bath_offset, user_aux.f90:136-157): applied to the
+    component whose basis matrix is proportional to the identity."""
+    bath = unpack_dmft_bath(cfg, bath_array)
+    bath.lam[ibath, -1] = offset
+    return pack_dmft_bath(cfg, bath)
+
+
+def hbath_mask(cfg: EDConfig, hb: BathBasis, wdiag: bool = False,
+               uplo: bool = False) -> np.ndarray:
+    """Boolean mask of nonzero bath-Hamiltonian components
+    (Hbath_mask, ED_BATH/hbath_setup.f90:258-299)."""
+    mask = np.zeros((cfg.nlat, cfg.nlat, cfg.nspin, cfg.nspin,
+                     cfg.norb, cfg.norb), dtype=bool)
+    for s in range(hb.nsym):
+        mask |= hb.basis[s] != 0
+    if wdiag:
+        for il in range(cfg.nlat):
+            for sp in range(cfg.nspin):
+                for io in range(cfg.norb):
+                    mask[il, il, sp, sp, io, io] = True
+    if uplo:
+        nlat, nspin, norb = cfg.nlat, cfg.nspin, cfg.norb
+        for il in range(nlat):
+            for jl in range(nlat):
+                for sp in range(nspin):
+                    for so in range(nspin):
+                        for io in range(norb):
+                            for jo in range(norb):
+                                i = io + il * norb + sp * norb * nlat
+                                j = jo + jl * norb + so * norb * nlat
+                                if i > j:
+                                    mask[il, jl, sp, so, io, jo] = False
+    return mask
+
+
+# ---------------------------------------------------------------------------
 # pieces consumed by the Hamiltonian builder
 # ---------------------------------------------------------------------------
 

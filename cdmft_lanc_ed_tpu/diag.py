@@ -77,6 +77,49 @@ class DiagState:
                     isec = fock.get_sector(nup, ndw, ns)
                     self.neigen_sector[isec - 1] += 1
 
+    # -- sector-scan restriction (ed_pre_diag, ED_DIAG.f90:276-323) -----
+    def load_sectors_restart(self, path: str) -> None:
+        """Restrict the sector sweep to the sectors listed in
+        ``sectors_list.restart`` widened by +-ed_sectors_shift in each
+        quantum number (ed_sectors/ed_sectors_shift semantics)."""
+        if not self.cfg.ed_sectors or not os.path.exists(path):
+            return
+        ns = self.cfg.ns
+        shift = self.cfg.ed_sectors_shift
+        mask = np.zeros(self.cfg.nsectors, dtype=bool)
+        with open(path) as fh:
+            for line in fh:
+                toks = line.split()
+                if len(toks) < 2:
+                    continue
+                nup0, ndw0 = int(toks[0]), int(toks[1])
+                for du in range(-shift, shift + 1):
+                    for dd in range(-shift, shift + 1):
+                        nup, ndw = nup0 + du, ndw0 + dd
+                        if 0 <= nup <= ns and 0 <= ndw <= ns:
+                            mask[fock.get_sector(nup, ndw, ns) - 1] = True
+        if mask.any():
+            self.sectors_mask = mask
+
+    def save_sectors_restart(self, path: str) -> None:
+        """T=0 post-diag sector list (ED_DIAG.f90:384-392)."""
+        ns = self.cfg.ns
+        with open(path, "w") as fh:
+            for st in self.state_list:
+                nup, ndw = fock.get_quantum_numbers(st.isector, ns)
+                fh.write(f" {nup} {ndw}\n")
+
+    def save_histogram(self, path: str) -> None:
+        """Finite-T sector histogram (histogram_states.ed,
+        ED_DIAG.f90:396-412)."""
+        counts = np.zeros(self.cfg.nsectors, dtype=np.int64)
+        for st in self.state_list:
+            counts[st.isector - 1] += 1
+        with open(path, "a") as fh:
+            for i in np.nonzero(counts)[0]:
+                fh.write(f"{i + 1:6d} {counts[i]:6d}\n")
+            fh.write("\n")
+
 
 SectorBuilder = Callable[[int, int], sector_ham.SectorOperator]
 
@@ -92,6 +135,11 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
 
     state.state_list.free()
     oldzero = 1000.0
+    state.load_sectors_restart(os.path.join(
+        cfg.work_dir, "sectors_list" + cfg.ed_file_suffix + ".restart"))
+    eig_log_path = os.path.join(
+        cfg.work_dir, "eigenvalues_list" + cfg.ed_file_suffix + ".ed")
+    eig_log = []
 
     for isector in fock.all_sectors(ns):
         if not state.sectors_mask[isector - 1]:
@@ -137,6 +185,7 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
         verbose(f"sector {isector:5d} (nup={nup:2d},ndw={ndw:2d}) dim={dim:8d}"
                 f" {'lanc' if lanc_solve else 'eigh'}"
                 f" E0={eig_values[0]: .10f} [{time.time()-t0:6.2f}s]")
+        eig_log.append((isector, nup, ndw, eig_values[:neigen]))
 
         if finite_t:
             for i in range(len(eig_values)):
@@ -158,7 +207,23 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                     state.state_list.insert(enemin, eig_basis[i], isector, ns,
                                             twin=tflag)
 
+    # eigenvalues_list.ed (ED_DIAG.f90:247-252)
+    try:
+        with open(eig_log_path, "a") as fh:
+            for isector, nup, ndw, vals in eig_log:
+                row = " ".join(f"{v:25.15f}" for v in vals)
+                fh.write(f"{isector:6d} {nup:3d} {ndw:3d} {row}\n")
+    except OSError:
+        pass
+
     _post_diag(state, verbose)
+
+    if cfg.finite_temp:
+        state.save_histogram(os.path.join(
+            cfg.work_dir, "histogram_states" + cfg.ed_file_suffix + ".ed"))
+    else:
+        state.save_sectors_restart(os.path.join(
+            cfg.work_dir, "sectors_list" + cfg.ed_file_suffix + ".restart"))
 
 
 def _post_diag(state: DiagState, verbose) -> None:

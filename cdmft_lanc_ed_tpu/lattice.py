@@ -209,6 +209,58 @@ def dmft_kinetic_energy(cfg: EDConfig, hk: np.ndarray,
 # ED_AUX_FUNX.f90:701-853 simplified bracketing secant)
 # ---------------------------------------------------------------------------
 
+class VariableSearch:
+    """ed_search_variable (ED_AUX_FUNX.f90:586-697): secant update of a
+    control variable (usually mu) toward a target density using a running
+    compressibility estimate persisted to ``var_compressibility.restart``."""
+
+    def __init__(self, nread: float, nerr: float = 1e-4,
+                 ndelta: float = 0.1, work_dir: str = "."):
+        import os
+        self.nread = nread
+        self.nerr = nerr
+        self.ndelta = ndelta
+        self.path = os.path.join(work_dir, "var_compressibility.restart")
+        self.chi = None                  # dn/dmu estimate
+        self.prev = None                 # (var, dens)
+        if os.path.exists(self.path):
+            try:
+                with open(self.path) as fh:
+                    self.chi = float(fh.read().split()[0])
+            except (OSError, ValueError, IndexError):
+                pass
+
+    def step(self, var: float, dens: float):
+        """Returns (new_var, converged)."""
+        import os
+        diff = dens - self.nread
+        if abs(diff) < self.nerr:
+            self._save()
+            return var, True
+        if self.prev is not None:
+            v0, d0 = self.prev
+            if abs(var - v0) > 1e-14 and abs(dens - d0) > 1e-14:
+                chi_new = (dens - d0) / (var - v0)
+                if chi_new > 0:          # physical compressibility
+                    self.chi = chi_new if self.chi is None else \
+                        0.5 * (self.chi + chi_new)
+        self.prev = (var, dens)
+        if self.chi is not None and self.chi > 1e-12:
+            step = -diff / self.chi
+            step = float(np.clip(step, -abs(self.ndelta), abs(self.ndelta)))
+        else:
+            step = -np.sign(diff) * self.ndelta
+        self._save()
+        return var + step, False
+
+    def _save(self):
+        try:
+            with open(self.path, "w") as fh:
+                fh.write(f"{self.chi if self.chi is not None else 0.0:.12e}\n")
+        except OSError:
+            pass
+
+
 class MuSearch:
     """Iterative mu adjustment toward a target density."""
 
