@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""CDMFT driver: Kane-Mele model, 6-site hexagon cluster.
+
+Counterpart of /root/reference/drivers/cdn_kanemele.f90 (Nlat=6, Nspin=2).
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from cdmft_lanc_ed_tpu import EDSolver, read_input
+from cdmft_lanc_ed_tpu.custom_obs import CustomObservables
+from cdmft_lanc_ed_tpu.dmft_loop import run_dmft_loop
+from cdmft_lanc_ed_tpu.models.kanemele import kanemele_cluster_hk, \
+    kanemele_cluster_hloc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="inputKANEMELE.conf")
+    ap.add_argument("--nk", type=int, default=8)
+    ap.add_argument("--ts", type=float, default=1.0)
+    ap.add_argument("--mh", type=float, default=0.0)
+    ap.add_argument("--lam", type=float, default=0.1)
+    ap.add_argument("--wmixing", type=float, default=0.5)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = read_input(args.input, nlat=6, norb=1, nspin=2)
+    print(f"CDMFT Kane-Mele: Nbath={cfg.nbath}, U={cfg.uloc[0]}, "
+          f"lam={args.lam}, Mh={args.mh}")
+    hk, hloc = kanemele_cluster_hk(args.nk, args.ts, args.mh, args.lam)
+
+    solver = EDSolver(cfg)
+    # symmetry basis: the three Hloc components (mass, hop, SOC), as the
+    # reference does for BHZ-style drivers
+    b1 = kanemele_cluster_hloc(0.0, 1.0, 0.0)
+    b2 = kanemele_cluster_hloc(1.0, 0.0, 0.0)
+    b3 = kanemele_cluster_hloc(0.0, 0.0, 1.0)
+    basis = np.stack([b1, b2, b3])
+    lam0 = np.array([args.mh, args.ts, args.lam])
+    solver.set_hbath(basis, np.tile(lam0, (cfg.nbath, 1)))
+    bath = solver.init_solver()
+
+    res = run_dmft_loop(solver, hk, hloc, bath, wmixing=args.wmixing,
+                        log=lambda s: print(s, flush=True))
+    print(f"converged={res.converged} after {res.iterations} loops")
+    print("dens =", res.solver.dens().ravel())
+    print("docc =", res.solver.docc().ravel())
+
+    # density observable (cdn_kanemele.f90:90-96)
+    nlso = cfg.nlso
+    obs = np.zeros((nlso, nlso), complex)
+    for il in range(6):
+        for sp in range(2):
+            io = il + sp * 6
+            obs[io, io] = 1.0 / 6.0
+    co = CustomObservables(res.solver, hk)
+    co.add("dens", obs)
+    print("custom:", co.compute())
+
+
+if __name__ == "__main__":
+    main()
