@@ -33,24 +33,27 @@ def main():
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=1)
-    def chain(v, steps):
-        def body(v, _):
-            w = split.matvec_2d_dense_split(dev, v)
-            return w / jnp.sqrt(jnp.sum(w ** 2)), None
-        v, _ = jax.lax.scan(body, v, None, length=steps)
-        return v
+    @partial(jax.jit, static_argnums=2)
+    def chain(vr, vi, steps):
+        def body(c, _):
+            vr, vi = c
+            wr, wi = split.matvec_dense_pair(dev, vr, vi)
+            nrm = jnp.sqrt(jnp.sum(wr ** 2) + jnp.sum(wi ** 2))
+            return (wr / nrm, wi / nrm), None
+        c, _ = jax.lax.scan(body, (vr, vi), None, length=steps)
+        return c
 
     rng = np.random.default_rng(0)
-    v = jnp.asarray(rng.normal(size=(2, dd, du)) / np.sqrt(2 * op.dim))
+    vr = jnp.asarray(rng.normal(size=(dd, du)) / np.sqrt(2 * op.dim))
+    vi = jnp.asarray(rng.normal(size=(dd, du)) / np.sqrt(2 * op.dim))
 
     # warmup/compile
-    out = chain(v, 2)
+    out = chain(vr, vi, 2)
     jax.block_until_ready(out)
 
     steps = 30
     t0 = time.time()
-    out = chain(v, steps)
+    out = chain(vr, vi, steps)
     jax.block_until_ready(out)
     dt = time.time() - t0
     nnz_per_s = nnz * steps / dt

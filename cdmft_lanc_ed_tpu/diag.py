@@ -165,7 +165,7 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
         if lanc_solve:
             if spmv.use_split_backend():
                 from .ops import split
-                mv_s = split.make_matvec_tpu(op)
+                mv_s = split.make_matvec_pair(op)
                 res = lanczos.lanczos_eigh_split(
                     mv_s, dim, neigen=neigen, ncv=nblock,
                     maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)

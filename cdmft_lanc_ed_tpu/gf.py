@@ -224,7 +224,7 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
         if key not in op_cache:
             if use_split:
                 from .ops import split as split_mod
-                op_cache[key] = split_mod.make_matvec_tpu(build(jnup, jndw))
+                op_cache[key] = split_mod.make_matvec_pair(build(jnup, jndw))
             else:
                 dev = spmv.to_device(build(jnup, jndw))
                 op_cache[key] = spmv.make_matvec(dev)
@@ -266,10 +266,9 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                 nlanc = min(batch.shape[1], cfg.lanc_ngfiter)
                 mv = matvec_for(jnup, jndw)
                 if use_split:
-                    from .ops.split import split_of
                     alphas, betas, norms = \
                         lanczos.lanczos_tridiag_batched_split(
-                            mv, jnp.asarray(split_of(batch)), nlanc)
+                            mv, batch, nlanc)
                 else:
                     alphas, betas, norms = lanczos.lanczos_tridiag_batched(
                         mv, jnp.asarray(batch), nlanc)

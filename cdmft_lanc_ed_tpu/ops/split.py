@@ -143,16 +143,25 @@ _PREC = jax.lax.Precision.HIGHEST
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DenseSplitOp:
-    """Sector Hamiltonian with dense split spin factors (TPU hot path)."""
+    """Sector Hamiltonian with dense split spin factors (TPU hot path).
+
+    All complex data is held as SEPARATE contiguous f64 arrays (not stacked
+    [2, ...] planes): on the target TPU backend, matmuls on slices of a
+    stacked array lower ~3x slower than on standalone operands (measured:
+    26 ms vs 9.5 ms per flagship matvec)."""
     diag: jax.Array        # [DimDw, DimUp] f64
-    h_up: jax.Array        # [2, DimUp, DimUp] f64 (re/im planes)
-    h_dw: jax.Array        # [2, DimDw, DimDw] f64
-    nd_amp: jax.Array      # [2, T]
-    nd_up: jax.Array       # [T, DimUp, DimUp] f64 (sign pattern, real)
+    hdw_r: jax.Array       # [DimDw, DimDw] f64
+    hdw_i: jax.Array
+    hupT_r: jax.Array      # [DimUp, DimUp] f64, PRE-TRANSPOSED (H_up^T)
+    hupT_i: jax.Array
+    nd_amp_r: jax.Array    # [T]
+    nd_amp_i: jax.Array
+    nd_upT: jax.Array      # [T, DimUp, DimUp] f64 (sign pattern^T, real)
     nd_dw: jax.Array       # [T, DimDw, DimDw] f64
 
     def tree_flatten(self):
-        return ((self.diag, self.h_up, self.h_dw, self.nd_amp, self.nd_up,
+        return ((self.diag, self.hdw_r, self.hdw_i, self.hupT_r,
+                 self.hupT_i, self.nd_amp_r, self.nd_amp_i, self.nd_upT,
                  self.nd_dw), None)
 
     @classmethod
@@ -167,24 +176,29 @@ def to_device_dense_split(op: SectorOperator) -> DenseSplitOp:
     du, dd = op.dim_up, op.dim_dw
     if t:
         amp = np.array([x.amp for x in op.nd_terms])
-        nd_amp = np.stack([amp.real, amp.imag])
-        nd_up = np.zeros((t, du, du))
+        nd_upT = np.zeros((t, du, du))
         nd_dw = np.zeros((t, dd, dd))
         for i, term in enumerate(op.nd_terms):
             iu = np.nonzero(term.up_src >= 0)[0]
-            nd_up[i, iu, term.up_src[iu]] = term.up_sgn[iu]
+            nd_upT[i, term.up_src[iu], iu] = term.up_sgn[iu]
             idw = np.nonzero(term.dw_src >= 0)[0]
             nd_dw[i, idw, term.dw_src[idw]] = term.dw_sgn[idw]
+        nd_amp_r, nd_amp_i = amp.real, amp.imag
     else:
-        nd_amp = np.zeros((2, 0))
-        nd_up = np.zeros((0, du, du))
+        nd_amp_r = np.zeros(0)
+        nd_amp_i = np.zeros(0)
+        nd_upT = np.zeros((0, du, du))
         nd_dw = np.zeros((0, dd, dd))
+    c = np.ascontiguousarray
     return DenseSplitOp(
         diag=jnp.asarray(op.diag(), jnp.float64),
-        h_up=jnp.asarray(np.stack([hu.real, hu.imag]), jnp.float64),
-        h_dw=jnp.asarray(np.stack([hd.real, hd.imag]), jnp.float64),
-        nd_amp=jnp.asarray(nd_amp, jnp.float64),
-        nd_up=jnp.asarray(nd_up, jnp.float64),
+        hdw_r=jnp.asarray(c(hd.real), jnp.float64),
+        hdw_i=jnp.asarray(c(hd.imag), jnp.float64),
+        hupT_r=jnp.asarray(c(hu.real.T), jnp.float64),
+        hupT_i=jnp.asarray(c(hu.imag.T), jnp.float64),
+        nd_amp_r=jnp.asarray(nd_amp_r, jnp.float64),
+        nd_amp_i=jnp.asarray(nd_amp_i, jnp.float64),
+        nd_upT=jnp.asarray(nd_upT, jnp.float64),
         nd_dw=jnp.asarray(nd_dw, jnp.float64),
     )
 
@@ -193,31 +207,29 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_PREC)
 
 
-def matvec_2d_dense_split(op: DenseSplitOp, x: jax.Array) -> jax.Array:
-    """H·x with x [2, DimDw, DimUp] f64: all heavy work is MXU matmuls.
+def matvec_dense_pair(op: DenseSplitOp, xr: jax.Array, xi: jax.Array):
+    """H·x on the pair representation: (xr, xi) [DimDw, DimUp] -> same.
 
     (H_dw ⊗ I)v = H_dw · X ;  (I ⊗ H_up)v = X · H_upᵀ  — the single-chip
-    form of the reference's transpose scheme with zero data movement."""
-    xr, xi = x[0], x[1]
-    out_r = op.diag * xr
-    out_i = op.diag * xi
-    # H_dw · X (complex): 4 real matmuls
-    ar, ai = op.h_dw[0], op.h_dw[1]
-    out_r = out_r + _mm(ar, xr) - _mm(ai, xi)
-    out_i = out_i + _mm(ar, xi) + _mm(ai, xr)
-    # X · H_upᵀ
-    brt, bit = op.h_up[0].T, op.h_up[1].T
-    out_r = out_r + _mm(xr, brt) - _mm(xi, bit)
-    out_i = out_i + _mm(xi, brt) + _mm(xr, bit)
-    if op.nd_amp.shape[1]:
-        def one(ar_, ai_, ou, od):
-            # amp * O_dw · X · O_upᵀ   (O real sign patterns)
-            yr = _mm(od, _mm(xr, ou.T))
-            yi = _mm(od, _mm(xi, ou.T))
-            return jnp.stack([ar_ * yr - ai_ * yi, ar_ * yi + ai_ * yr])
-        contrib = jax.vmap(one)(op.nd_amp[0], op.nd_amp[1], op.nd_up,
-                                op.nd_dw)
-        return jnp.stack([out_r, out_i]) + contrib.sum(axis=0)
+    form of the reference's transpose scheme with zero data movement;
+    every heavy op is an MXU matmul at HIGHEST precision (true f64)."""
+    out_r = op.diag * xr + _mm(op.hdw_r, xr) - _mm(op.hdw_i, xi) \
+        + _mm(xr, op.hupT_r) - _mm(xi, op.hupT_i)
+    out_i = op.diag * xi + _mm(op.hdw_r, xi) + _mm(op.hdw_i, xr) \
+        + _mm(xi, op.hupT_r) + _mm(xr, op.hupT_i)
+    tcount = op.nd_amp_r.shape[0]
+    for t in range(tcount):
+        # amp * O_dw · X · O_upᵀ   (O real sign patterns; T is tiny)
+        yr = _mm(op.nd_dw[t], _mm(xr, op.nd_upT[t]))
+        yi = _mm(op.nd_dw[t], _mm(xi, op.nd_upT[t]))
+        out_r = out_r + op.nd_amp_r[t] * yr - op.nd_amp_i[t] * yi
+        out_i = out_i + op.nd_amp_r[t] * yi + op.nd_amp_i[t] * yr
+    return out_r, out_i
+
+
+def matvec_2d_dense_split(op: DenseSplitOp, x: jax.Array) -> jax.Array:
+    """[2, DimDw, DimUp] wrapper over the pair kernel."""
+    out_r, out_i = matvec_dense_pair(op, x[0], x[1])
     return jnp.stack([out_r, out_i])
 
 
@@ -227,19 +239,38 @@ def matvec_2d_dense_split(op: DenseSplitOp, x: jax.Array) -> jax.Array:
 DENSE_FACTOR_MAX = 8192
 
 
-def make_matvec_tpu(op: SectorOperator):
-    """Best-available flat split matvec for the current backend."""
-    if max(op.dim_up, op.dim_dw) <= DENSE_FACTOR_MAX:
+def make_matvec_pair(op: SectorOperator):
+    """Best-available pair matvec (vr, vi) [dim] -> (wr, wi) [dim] for the
+    current backend, plus its (dim_dw, dim_up) shape."""
+    dd, du = op.dim_dw, op.dim_up
+    if max(du, dd) <= DENSE_FACTOR_MAX:
         dev = to_device_dense_split(op)
-        dd, du = dev.diag.shape
 
-        @jax.jit
-        def mv(x):
-            return matvec_2d_dense_split(dev, x.reshape(2, dd, du)) \
-                .reshape(2, -1)
+        def mv(vr, vi):
+            wr, wi = matvec_dense_pair(dev, vr.reshape(dd, du),
+                                       vi.reshape(dd, du))
+            return wr.reshape(-1), wi.reshape(-1)
 
         return mv
-    return make_matvec_split(to_device_split(op))
+    dev = to_device_split(op)
+
+    def mv(vr, vi):
+        w = matvec_2d_split(dev, jnp.stack([vr, vi]).reshape(2, dd, du))
+        return w[0].reshape(-1), w[1].reshape(-1)
+
+    return mv
+
+
+def make_matvec_tpu(op: SectorOperator):
+    """Flat split matvec [2, dim] -> [2, dim] (compat wrapper)."""
+    mv_pair = make_matvec_pair(op)
+
+    @jax.jit
+    def mv(x):
+        wr, wi = mv_pair(x[0], x[1])
+        return jnp.stack([wr, wi])
+
+    return mv
 
 
 # -- representation converters (host boundary only) -------------------------

@@ -176,6 +176,106 @@ def make_sharded_matvec(op: DeviceSectorOp, mesh: Mesh, axis: str = "dw"):
     return matvec, sh
 
 
+def make_sharded_matvec_dense_pair(op: SectorOperator, mesh: Mesh,
+                                   axis: str = "dw"):
+    """Sharded dense-factor matvec on the split-pair representation — the
+    multi-chip MXU hot path (analog of split.matvec_dense_pair).
+
+    The vector pair (xr, xi) [DimDw_p, DimUp] is sharded P(axis, None).
+    Per shard: X_loc · H_upᵀ is local matmul; for H_dw · X one all-to-all
+    transposes to [DimDw, up_loc], the dw matmul runs locally, and a second
+    all-to-all transposes back (ED_HAMILTONIAN_COMMON.f90:30-101 scheme,
+    with the gathers replaced by MXU matmuls).  Jx/Jp terms fold in: the up
+    factor is applied pre-transpose, the dw factor while transposed.
+
+    Returns (matvec_pair, sharding, (dd_pad, du_pad))."""
+    ndev = mesh.shape[axis]
+    dd = -(-op.dim_dw // ndev) * ndev
+    du = -(-op.dim_up // ndev) * ndev
+    P_ = jax.lax.Precision.HIGHEST
+
+    def padded(x, r, c):
+        out = np.zeros((r, c), x.dtype)
+        out[: x.shape[0], : x.shape[1]] = x
+        return out
+
+    hu = op.h_up.to_dense()
+    hd = op.h_dw.to_dense()
+    diag = padded(op.diag(), dd, du)
+    hupT_r = jnp.asarray(padded(np.ascontiguousarray(hu.real.T), du, du))
+    hupT_i = jnp.asarray(padded(np.ascontiguousarray(hu.imag.T), du, du))
+    hdw_r = jnp.asarray(padded(np.ascontiguousarray(hd.real), dd, dd))
+    hdw_i = jnp.asarray(padded(np.ascontiguousarray(hd.imag), dd, dd))
+    t = len(op.nd_terms)
+    nd_upT = np.zeros((t, du, du))
+    nd_dw = np.zeros((t, dd, dd))
+    amp_r = np.zeros(t)
+    amp_i = np.zeros(t)
+    for i, term in enumerate(op.nd_terms):
+        iu = np.nonzero(term.up_src >= 0)[0]
+        nd_upT[i, term.up_src[iu], iu] = term.up_sgn[iu]
+        idw = np.nonzero(term.dw_src >= 0)[0]
+        nd_dw[i, idw, term.dw_src[idw]] = term.dw_sgn[idw]
+        amp_r[i] = term.amp.real
+        amp_i[i] = term.amp.imag
+
+    sh = NamedSharding(mesh, P(axis, None))
+    rep2 = NamedSharding(mesh, P(None, None))
+    diag_d = jax.device_put(jnp.asarray(diag), sh)
+    hupT_r = jax.device_put(hupT_r, rep2)
+    hupT_i = jax.device_put(hupT_i, rep2)
+    hdw_r = jax.device_put(hdw_r, rep2)
+    hdw_i = jax.device_put(hdw_i, rep2)
+    nd_upT_d = jax.device_put(jnp.asarray(nd_upT),
+                              NamedSharding(mesh, P(None, None, None)))
+    nd_dw_d = jax.device_put(jnp.asarray(nd_dw),
+                             NamedSharding(mesh, P(None, None, None)))
+
+    def kernel(diag_l, hupT_r, hupT_i, hdw_r, hdw_i, nd_upT, nd_dw,
+               xr, xi):
+        # local up part + diagonal
+        out_r = diag_l * xr + jnp.matmul(xr, hupT_r, precision=P_) \
+            - jnp.matmul(xi, hupT_i, precision=P_)
+        out_i = diag_l * xi + jnp.matmul(xi, hupT_r, precision=P_) \
+            + jnp.matmul(xr, hupT_i, precision=P_)
+        # payload: the vector (+ up-factored nd terms), both components
+        pay = [xr, xi]
+        for ti in range(t):
+            pay.append(jnp.matmul(xr, nd_upT[ti], precision=P_))
+            pay.append(jnp.matmul(xi, nd_upT[ti], precision=P_))
+        payload = jnp.stack(pay)                     # [C, dw_loc, DimUp]
+        pt = jax.lax.all_to_all(payload, axis, split_axis=2,
+                                concat_axis=1, tiled=True)
+        vtr, vti = pt[0], pt[1]                      # [DimDw, up_loc]
+        ytr = jnp.matmul(hdw_r, vtr, precision=P_) \
+            - jnp.matmul(hdw_i, vti, precision=P_)
+        yti = jnp.matmul(hdw_r, vti, precision=P_) \
+            + jnp.matmul(hdw_i, vtr, precision=P_)
+        for ti in range(t):
+            ur = pt[2 + 2 * ti]
+            ui = pt[3 + 2 * ti]
+            zr = jnp.matmul(nd_dw[ti], ur, precision=P_)
+            zi = jnp.matmul(nd_dw[ti], ui, precision=P_)
+            ytr = ytr + amp_r[ti] * zr - amp_i[ti] * zi
+            yti = yti + amp_r[ti] * zi + amp_i[ti] * zr
+        back = jax.lax.all_to_all(jnp.stack([ytr, yti]), axis,
+                                  split_axis=1, concat_axis=2, tiled=True)
+        return out_r + back[0], out_i + back[1]
+
+    @jax.jit
+    def matvec(xr, xi):
+        return jax.shard_map(
+            kernel, mesh=mesh,
+            in_specs=(P(axis, None), P(None, None), P(None, None),
+                      P(None, None), P(None, None), P(None, None, None),
+                      P(None, None, None), P(axis, None), P(axis, None)),
+            out_specs=(P(axis, None), P(axis, None)),
+            check_vma=False,
+        )(diag_d, hupT_r, hupT_i, hdw_r, hdw_i, nd_upT_d, nd_dw_d, xr, xi)
+
+    return matvec, sh, (dd, du)
+
+
 def sharded_matvec_flat(op: DeviceSectorOp, mesh: Mesh, dim_dw: int,
                         dim_up: int, axis: str = "dw"):
     """Flat [dim] -> [dim] matvec closure over the padded 2-D kernel, for

@@ -35,8 +35,7 @@ def test_split_matvec_matches_complex():
 
 def test_split_lanczos_eigh_matches_dense():
     cfg, op = make_op()
-    dev = split.to_device_split(op)
-    mv = split.make_matvec_split(dev)
+    mv = split.make_matvec_pair(op)
     res = lanczos.lanczos_eigh_split(mv, op.dim, neigen=3, ncv=30,
                                      maxiter=600, tol=1e-13)
     w = np.linalg.eigvalsh(op.to_dense())
@@ -52,14 +51,12 @@ def test_split_batched_tridiag_matches_complex():
     cfg, op = make_op()
     dev_c = spmv.to_device(op)
     mv_c = spmv.make_matvec(dev_c)
-    dev_s = split.to_device_split(op)
-    mv_s = split.make_matvec_split(dev_s)
+    mv_s = split.make_matvec_pair(op)
     rng = np.random.default_rng(5)
     batch = rng.normal(size=(4, op.dim)) + 1j * rng.normal(size=(4, op.dim))
     a1, b1, n1 = lanczos.lanczos_tridiag_batched(mv_c, jnp.asarray(batch),
                                                  20)
-    a2, b2, n2 = lanczos.lanczos_tridiag_batched_split(
-        mv_s, jnp.asarray(split.split_of(batch)), 20)
+    a2, b2, n2 = lanczos.lanczos_tridiag_batched_split(mv_s, batch, 20)
     np.testing.assert_allclose(a2, a1, atol=1e-9)
     np.testing.assert_allclose(b2, b1, atol=1e-9)
     np.testing.assert_allclose(n2, n1, atol=1e-12)
