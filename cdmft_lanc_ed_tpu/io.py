@@ -121,6 +121,30 @@ def write_observables(cfg: EDConfig, obs, egs: float,
         fh.write(line + "\n")
 
 
+def write_zeta_and_sig(cfg: EDConfig, smats_nnn: np.ndarray) -> None:
+    """Quasiparticle weight z and scattering rate files
+    (ED_GREENS_FUNCTIONS.f90:114-169: zeta_*.ed, sig_*.ed)."""
+    from .postprocess import quasiparticle_weight, scattering_rate
+    z = quasiparticle_weight(cfg, smats_nnn)
+    sig = scattering_rate(cfg, smats_nnn)
+    with open(os.path.join(cfg.work_dir,
+                           "zeta_last" + cfg.ed_file_suffix + ".ed"),
+              "w") as fh:
+        fh.write(" ".join(f"{x:24.15e}" for x in z) + "\n")
+    with open(os.path.join(cfg.work_dir,
+                           "sig_last" + cfg.ed_file_suffix + ".ed"),
+              "w") as fh:
+        fh.write(" ".join(f"{x:24.15e}" for x in sig) + "\n")
+
+
+def print_cluster_dm(cfg: EDConfig, cdm: np.ndarray) -> None:
+    """Full cluster density-matrix printer (ed_print_dm, ED_IO.f90:457-547)."""
+    path = os.path.join(cfg.work_dir,
+                        "cluster_density_matrix" + cfg.ed_file_suffix
+                        + ".dat")
+    np.savetxt(path, np.column_stack([cdm.real.ravel(), cdm.imag.ravel()]))
+
+
 def write_energy(cfg: EDConfig, energy) -> None:
     with open(os.path.join(cfg.work_dir, "energy_last.ed"), "w") as fh:
         fh.write(f"{energy.eknot:24.15e} {energy.epot:24.15e} "

@@ -143,6 +143,10 @@ class EDSolver:
             ed_io.print_impg0(cfg, self.gf)
         ed_io.write_observables(cfg, self.obs, self.egs, cfg.ed_file_suffix)
         ed_io.write_energy(cfg, self.energy)
+        if cfg.gf_flag:
+            ed_io.write_zeta_and_sig(cfg, self.gf.smats)
+        if cfg.dm_flag and self.cdm is not None:
+            ed_io.print_cluster_dm(cfg, self.cdm)
 
     # -- getters (ED_IO.f90:241-289 equivalents) ------------------------
     @property
