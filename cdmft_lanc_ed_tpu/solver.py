@@ -116,22 +116,35 @@ class EDSolver:
         if self.diag_state is None:
             self.diag_state = DiagState(cfg)
 
+        from .utils.timer import Timers
+        timers = Timers(self.verbose_log if cfg.ed_verbose >= 3
+                        else None)
+        self.timers = timers
+
         build = self._sector_builder()
-        diagonalize_impurity(self.diag_state, build, log=self.verbose_log)
+        with timers("diagonalization"):
+            diagonalize_impurity(self.diag_state, build,
+                                 log=self.verbose_log)
         self.diag_state.state_list.save(
             os.path.join(cfg.work_dir,
                          "state_list" + cfg.ed_file_suffix + ".ed"), cfg.ns)
 
         if cfg.gf_flag:
-            self.gf = build_gf_and_sigma(cfg, self.hb, self.bath,
-                                         self.imp_hloc, self.diag_state,
-                                         build, log=self.verbose_log)
-        self.obs = observables_impurity(cfg, self.diag_state)
-        self.energy = local_energy_impurity(cfg, self.imp_hloc,
-                                            self.diag_state)
+            with timers("greens_functions"):
+                self.gf = build_gf_and_sigma(cfg, self.hb, self.bath,
+                                             self.imp_hloc, self.diag_state,
+                                             build, log=self.verbose_log)
+        with timers("observables"):
+            self.obs = observables_impurity(cfg, self.diag_state)
+            self.energy = local_energy_impurity(cfg, self.imp_hloc,
+                                                self.diag_state)
         if cfg.dm_flag:
-            self.cdm = cluster_density_matrix(cfg, self.diag_state)
-            self.spdm = single_particle_density_matrix(cfg, self.diag_state)
+            with timers("density_matrices"):
+                self.cdm = cluster_density_matrix(cfg, self.diag_state)
+                self.spdm = single_particle_density_matrix(cfg,
+                                                           self.diag_state)
+        timers.write(os.path.join(cfg.work_dir,
+                                  "timings" + cfg.ed_file_suffix + ".ed"))
 
         # text-file output (ed_print_* flags; ED_MAIN.f90 print stage)
         from . import io as ed_io
