@@ -94,6 +94,30 @@ def bhz_cluster_hk(nx: int, ny: int, nk: int, mh: float, ts: float,
     return np.stack(hks), hloc
 
 
+def bhz_chain_hk(nx: int, ny: int, nk: int, mh: float, ts: float,
+                 lam: float) -> Tuple[np.ndarray, np.ndarray]:
+    """x-periodic, y-open BHZ: the 1d-chain driver (ny=1,
+    cdn_bhz_1d.f90:64) and the edge/ribbon geometry (ny = strip width,
+    cdn_bhz_2d_edge) share this builder: Bloch phases only along x."""
+    nlat = nx * ny
+    hloc = bhz_cluster_hloc(nx, ny, mh, ts, lam)
+
+    def idx(ix, iy):
+        return ix + iy * nx
+
+    hks = []
+    for k in 2.0 * np.pi * np.arange(nk) / nk:
+        h = np.array(hloc)
+        for s in range(2):
+            for iy in range(ny):
+                a, b = idx(0, iy), idx(nx - 1, iy)
+                h[b, a, s, s] += t_x(ts, lam, s).conj().T \
+                    * np.exp(1j * k * nx)
+                h[a, b, s, s] += t_x(ts, lam, s) * np.exp(-1j * k * nx)
+        hks.append(nnn2lso(h, nlat, 2, 2))
+    return np.stack(hks), hloc
+
+
 def bhz_bath_basis(nx: int, ny: int, mh: float, ts: float, lam: float
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """(basis [3, ...nnn...], lambda0 [3]) — the reference's symmetry basis
