@@ -163,7 +163,17 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
         t0 = time.time()
         op = build(nup, ndw)
         if lanc_solve:
-            if spmv.use_split_backend():
+            from .parallel import multichip
+            mesh = multichip.get_solver_mesh()
+            if mesh is not None and "dw" in mesh.shape and \
+                    dim >= 64 * cfg.lanc_dim_threshold:
+                # large sector: shard the vector along dw over the mesh
+                from .parallel.sharded_spmv import sharded_matvec_pair_flat
+                mv_s = sharded_matvec_pair_flat(op, mesh)
+                res = lanczos.lanczos_eigh_split(
+                    mv_s, dim, neigen=neigen, ncv=nblock,
+                    maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
+            elif spmv.use_split_backend():
                 from .ops import split
                 mv_s = split.make_matvec_pair(op)
                 res = lanczos.lanczos_eigh_split(

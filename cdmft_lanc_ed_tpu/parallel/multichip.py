@@ -27,6 +27,25 @@ from .sharded_spmv import pad_device_op, shard_local_kernel
 jax.config.update("jax_enable_x64", True)
 
 
+# ---------------------------------------------------------------------------
+# active solver mesh: set once by the user/driver; the diagonalization and
+# GF stages route large sectors through the sharded kernels when present
+# ---------------------------------------------------------------------------
+
+_ACTIVE_MESH: Mesh = None
+
+
+def set_solver_mesh(mesh: Mesh) -> None:
+    """Install a device mesh for the solver hot paths (axis 'dw' is used to
+    shard sector vectors; 'sector' for batched dispatch)."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_solver_mesh() -> Mesh:
+    return _ACTIVE_MESH
+
+
 def make_mesh(n_devices: int, n_sector: int = 1,
               devices=None) -> Mesh:
     """2-D mesh with n_sector x (n_devices//n_sector) layout."""

@@ -276,6 +276,25 @@ def make_sharded_matvec_dense_pair(op: SectorOperator, mesh: Mesh,
     return matvec, sh, (dd, du)
 
 
+def sharded_matvec_pair_flat(op: SectorOperator, mesh: Mesh,
+                             axis: str = "dw"):
+    """Flat pair matvec (vr, vi) [dim] -> (wr, wi) [dim] over the sharded
+    dense-factor kernel — plugs straight into lanczos_eigh_split /
+    lanczos_tridiag_batched_split so the whole eigensolve runs sharded."""
+    mv2d, sh, (ddp, dup) = make_sharded_matvec_dense_pair(op, mesh, axis)
+    dd, du = op.dim_dw, op.dim_up
+
+    def mv(vr, vi):
+        xr = jnp.pad(vr.reshape(dd, du), ((0, ddp - dd), (0, dup - du)))
+        xi = jnp.pad(vi.reshape(dd, du), ((0, ddp - dd), (0, dup - du)))
+        xr = jax.lax.with_sharding_constraint(xr, sh)
+        xi = jax.lax.with_sharding_constraint(xi, sh)
+        wr, wi = mv2d(xr, xi)
+        return (wr[:dd, :du].reshape(-1), wi[:dd, :du].reshape(-1))
+
+    return mv
+
+
 def sharded_matvec_flat(op: DeviceSectorOp, mesh: Mesh, dim_dw: int,
                         dim_up: int, axis: str = "dw"):
     """Flat [dim] -> [dim] matvec closure over the padded 2-D kernel, for

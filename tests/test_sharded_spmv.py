@@ -88,3 +88,33 @@ def test_sharded_dense_pair_matches_local(mesh8):
     got = (np.asarray(wr) + 1j * np.asarray(wi))[:op.dim_dw, :op.dim_up]
     want = op.matvec_np(v.ravel()).reshape(op.dim_dw, op.dim_up)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_mesh_integrated_solve(mesh8, tmp_path, monkeypatch):
+    """Full solver with an installed mesh: large sectors route through the
+    sharded dense-factor Lanczos and reproduce the unsharded result."""
+    import jax.numpy as jnp
+    from cdmft_lanc_ed_tpu import EDConfig, EDSolver
+    from cdmft_lanc_ed_tpu.parallel import multichip
+
+    h = np.zeros((4, 4, 1, 1, 1, 1), dtype=complex)
+    for (i, j) in [(0, 1), (0, 2), (1, 3), (2, 3)]:
+        h[i, j, 0, 0, 0, 0] = h[j, i, 0, 0, 0, 0] = -1.0
+    kw = dict(nlat=4, norb=1, nspin=1, nbath=0, uloc=[4.0], gf_flag=False,
+              ed_verbose=0, lanc_dim_threshold=1,
+              work_dir=str(tmp_path))
+
+    s_ref = EDSolver(EDConfig(**kw))
+    s_ref.init_solver()
+    s_ref.solve(np.zeros(0), h)
+
+    monkeypatch.setenv("CDMFT_SPLIT_BACKEND", "1")
+    try:
+        multichip.set_solver_mesh(mesh8)
+        s_sh = EDSolver(EDConfig(**kw))
+        s_sh.init_solver()
+        s_sh.solve(np.zeros(0), h)
+    finally:
+        multichip.set_solver_mesh(None)
+    assert s_sh.egs == pytest.approx(s_ref.egs, abs=1e-8)
+    np.testing.assert_allclose(s_sh.dens(), s_ref.dens(), atol=1e-7)
