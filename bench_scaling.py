@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Multi-chip scaling harness: sharded H·v step time vs mesh size.
+
+On real multi-chip hardware this measures the scaling efficiency of the
+dw-sharded dense-factor Lanczos step (BASELINE north-star: >= 80 % at
+>= 2 hosts).  Without multi-chip hardware it runs on the virtual CPU mesh
+(`XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu`)
+to validate that collective costs stay sub-dominant.
+
+Prints one JSON line per mesh size:
+  {"n_devices": N, "ms_per_matvec": T, "efficiency_vs_1": E}
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nbath", type=int, default=2)
+    ap.add_argument("--nup", type=int, default=6)
+    ap.add_argument("--ndw", type=int, default=6)
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    import __graft_entry__ as ge
+    from cdmft_lanc_ed_tpu.parallel.sharded_spmv import \
+        sharded_matvec_pair_flat
+    from cdmft_lanc_ed_tpu.ops.split import make_matvec_pair
+
+    _, op = ge._plaquette_bath_op(nbath=args.nbath, nup=args.nup,
+                                  ndw=args.ndw)
+    devices = jax.devices()
+    sizes = [n for n in (1, 2, 4, 8, 16) if n <= len(devices)]
+    rng = np.random.default_rng(0)
+    vr = jnp.asarray(rng.normal(size=op.dim))
+    vi = jnp.asarray(rng.normal(size=op.dim))
+    t1 = None
+    for n in sizes:
+        if n == 1:
+            mv = make_matvec_pair(op)
+        else:
+            mesh = Mesh(np.asarray(devices[:n]), ("dw",))
+            mv = sharded_matvec_pair_flat(op, mesh)
+
+        @jax.jit
+        def step(vr, vi):
+            wr, wi = mv(vr, vi)
+            nrm = jnp.sqrt(jnp.sum(wr ** 2) + jnp.sum(wi ** 2))
+            return wr / nrm, wi / nrm
+
+        wr, wi = step(vr, vi)
+        jax.block_until_ready(wi)
+        t0 = time.time()
+        for _ in range(args.steps):
+            wr, wi = step(wr, wi)
+        jax.block_until_ready(wi)
+        dt = (time.time() - t0) / args.steps * 1e3
+        if t1 is None:
+            t1 = dt
+        eff = t1 / (dt * 1)          # per-chip work is constant: ideal = t1
+        print(json.dumps({"n_devices": n,
+                          "ms_per_matvec": round(dt, 3),
+                          "efficiency_vs_1": round(eff, 4)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

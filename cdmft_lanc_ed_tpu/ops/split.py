@@ -152,17 +152,19 @@ class DenseSplitOp:
     diag: jax.Array        # [DimDw, DimUp] f64
     hdw_r: jax.Array       # [DimDw, DimDw] f64
     hdw_i: jax.Array
+    hdw_s: jax.Array       # hdw_r + hdw_i (3-mult complex matmul)
     hupT_r: jax.Array      # [DimUp, DimUp] f64, PRE-TRANSPOSED (H_up^T)
     hupT_i: jax.Array
+    hupT_s: jax.Array      # hupT_r + hupT_i
     nd_amp_r: jax.Array    # [T]
     nd_amp_i: jax.Array
     nd_upT: jax.Array      # [T, DimUp, DimUp] f64 (sign pattern^T, real)
     nd_dw: jax.Array       # [T, DimDw, DimDw] f64
 
     def tree_flatten(self):
-        return ((self.diag, self.hdw_r, self.hdw_i, self.hupT_r,
-                 self.hupT_i, self.nd_amp_r, self.nd_amp_i, self.nd_upT,
-                 self.nd_dw), None)
+        return ((self.diag, self.hdw_r, self.hdw_i, self.hdw_s,
+                 self.hupT_r, self.hupT_i, self.hupT_s, self.nd_amp_r,
+                 self.nd_amp_i, self.nd_upT, self.nd_dw), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -194,8 +196,10 @@ def to_device_dense_split(op: SectorOperator) -> DenseSplitOp:
         diag=jnp.asarray(op.diag(), jnp.float64),
         hdw_r=jnp.asarray(c(hd.real), jnp.float64),
         hdw_i=jnp.asarray(c(hd.imag), jnp.float64),
+        hdw_s=jnp.asarray(c(hd.real + hd.imag), jnp.float64),
         hupT_r=jnp.asarray(c(hu.real.T), jnp.float64),
         hupT_i=jnp.asarray(c(hu.imag.T), jnp.float64),
+        hupT_s=jnp.asarray(c(hu.real.T + hu.imag.T), jnp.float64),
         nd_amp_r=jnp.asarray(nd_amp_r, jnp.float64),
         nd_amp_i=jnp.asarray(nd_amp_i, jnp.float64),
         nd_upT=jnp.asarray(nd_upT, jnp.float64),
@@ -212,11 +216,20 @@ def matvec_dense_pair(op: DenseSplitOp, xr: jax.Array, xi: jax.Array):
 
     (H_dw ⊗ I)v = H_dw · X ;  (I ⊗ H_up)v = X · H_upᵀ  — the single-chip
     form of the reference's transpose scheme with zero data movement;
-    every heavy op is an MXU matmul at HIGHEST precision (true f64)."""
-    out_r = op.diag * xr + _mm(op.hdw_r, xr) - _mm(op.hdw_i, xi) \
-        + _mm(xr, op.hupT_r) - _mm(xi, op.hupT_i)
-    out_i = op.diag * xi + _mm(op.hdw_r, xi) + _mm(op.hdw_i, xr) \
-        + _mm(xi, op.hupT_r) + _mm(xr, op.hupT_i)
+    every heavy op is an MXU matmul at HIGHEST precision (true f64).
+    Each complex product uses the 3-multiplication (Karatsuba) form:
+      Re = P1 - P2,  Im = P3 - P1 - P2
+    with P1 = Ar·Xr, P2 = Ai·Xi, P3 = (Ar+Ai)·(Xr+Xi) — 6 matmuls per
+    matvec instead of 8 (25 % fewer MXU passes for one guard bit)."""
+    xs = xr + xi
+    p1 = _mm(op.hdw_r, xr)
+    p2 = _mm(op.hdw_i, xi)
+    p3 = _mm(op.hdw_s, xs)
+    q1 = _mm(xr, op.hupT_r)
+    q2 = _mm(xi, op.hupT_i)
+    q3 = _mm(xs, op.hupT_s)
+    out_r = op.diag * xr + (p1 - p2) + (q1 - q2)
+    out_i = op.diag * xi + (p3 - p1 - p2) + (q3 - q1 - q2)
     tcount = op.nd_amp_r.shape[0]
     for t in range(tcount):
         # amp * O_dw · X · O_upᵀ   (O real sign patterns; T is tiny)
