@@ -55,3 +55,24 @@ def test_two_site_cluster_1dchain(tmp_path):
     # cluster symmetry: both sites equivalent
     d = res.solver.docc()
     assert d[0, 0] == pytest.approx(d[1, 0], abs=1e-6)
+
+
+def test_2x2_plaquette_with_bath_cdmft(tmp_path):
+    """2x2 cluster + 1 replica bath (BASELINE config 4 reduced): two DMFT
+    iterations run end-to-end; PH symmetry holds; self-consistency error
+    decreases."""
+    solver, bath = setup_solver(tmp_path, nlat=4, nbath=1, beta=8.0,
+                                lmats=32, lfit=32, lanc_ngfiter=32,
+                                nloop=2, dmft_error=1e-10)
+    hk, hloc = square_cluster_hk(2, 2, nk=4)
+    res = run_dmft_loop(solver, hk, hloc, bath, wmixing=0.7, max_loops=2)
+    assert res.iterations == 2
+    np.testing.assert_allclose(res.solver.dens(), 1.0, atol=1e-5)
+    d = res.solver.docc().ravel()
+    np.testing.assert_allclose(d, d[0], atol=1e-6)   # C4 symmetry
+    assert 0.0 < d[0] < 0.25
+    # cluster symmetry of Sigma: site-diagonal entries all equal
+    sm = res.solver.sigma_matsubara()
+    diag0 = sm[0, 0, 0, 0, 0, 0, 0]
+    for il in range(1, 4):
+        assert sm[il, il, 0, 0, 0, 0, 0] == pytest.approx(diag0, abs=1e-6)
