@@ -64,7 +64,7 @@ def main():
         dt = (time.time() - t0) / args.steps * 1e3
         if t1 is None:
             t1 = dt
-        eff = t1 / (dt * 1)          # per-chip work is constant: ideal = t1
+        eff = t1 / (dt * n)          # strong scaling: ideal time = t1/n
         print(json.dumps({"n_devices": n,
                           "ms_per_matvec": round(dt, 3),
                           "efficiency_vs_1": round(eff, 4)}), flush=True)
