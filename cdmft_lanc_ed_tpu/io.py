@@ -91,11 +91,15 @@ def read_impsigma(cfg: EDConfig) -> Tuple[np.ndarray, np.ndarray]:
                         f_iw = base + "_iw" + cfg.ed_file_suffix + ".ed"
                         f_re = base + "_realw" + cfg.ed_file_suffix + ".ed"
                         if os.path.exists(f_iw):
-                            _, sm[ilat, jlat, ispin, ispin, iorb, jorb] = \
-                                sread(f_iw)
+                            _, v = sread(f_iw)
+                            n = min(len(v), cfg.lmats)
+                            sm[ilat, jlat, ispin, ispin, iorb, jorb,
+                               :n] = v[:n]
                         if os.path.exists(f_re):
-                            _, sr[ilat, jlat, ispin, ispin, iorb, jorb] = \
-                                sread(f_re)
+                            _, v = sread(f_re)
+                            n = min(len(v), cfg.lreal)
+                            sr[ilat, jlat, ispin, ispin, iorb, jorb,
+                               :n] = v[:n]
     return sm, sr
 
 

@@ -83,3 +83,28 @@ def test_gf_cluster_matches_gmats(tmp_path):
     z = 1j * s.gf.wm
     g = s.gf_cluster(z)
     np.testing.assert_allclose(g, s.gf.gmats, atol=1e-12)
+
+
+def test_bath_restart_roundtrip(tmp_path):
+    """Solve writes hamiltonian.used; a restart file is read back by a new
+    solver's init (init_dmft_bath read branch, dmft_aux.f90:104-129)."""
+    import os
+    from cdmft_lanc_ed_tpu import bath as bm
+    cfg = EDConfig(nlat=1, norb=1, nspin=1, nbath=3, ed_verbose=0,
+                   gf_flag=False, lmats=8, lreal=8, work_dir=str(tmp_path))
+    s = EDSolver(cfg)
+    s.set_hbath(np.ones((1, 1, 1, 1, 1, 1, 1)),
+                np.array([[0.6], [0.0], [-0.6]]))
+    b = s.init_solver()
+    bb = bm.unpack_dmft_bath(cfg, b)
+    bb.v[:, 0] = [0.31, 0.52, 0.73]
+    bb.lam[:, 0] = [0.11, -0.22, 0.33]
+    bm.save_dmft_bath(cfg, bb, os.path.join(str(tmp_path),
+                                            "hamiltonian.restart"))
+    s2 = EDSolver(cfg)
+    s2.set_hbath(np.ones((1, 1, 1, 1, 1, 1, 1)),
+                 np.array([[0.6], [0.0], [-0.6]]))
+    b2 = s2.init_solver()
+    bb2 = bm.unpack_dmft_bath(cfg, b2)
+    np.testing.assert_allclose(bb2.v, bb.v, atol=1e-10)
+    np.testing.assert_allclose(bb2.lam, bb.lam, atol=1e-10)
