@@ -175,10 +175,18 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                     maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
             elif spmv.use_split_backend():
                 from .ops import split
-                mv_s = split.make_matvec_pair(op)
+                mv_s, dim_p, embed, extract = \
+                    split.make_matvec_pair_padded(op)
+                rng = np.random.default_rng(8527)
+                v0 = embed(rng.normal(size=dim)
+                           + 1j * rng.normal(size=dim))
                 res = lanczos.lanczos_eigh_split(
-                    mv_s, dim, neigen=neigen, ncv=nblock,
-                    maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
+                    mv_s, dim_p, neigen=neigen, ncv=nblock,
+                    maxiter=nitermax * nblock, tol=cfg.lanc_tolerance,
+                    v0=v0)
+                res = lanczos.EighResult(
+                    res.eigenvalues, extract(res.eigenvectors),
+                    res.iterations, res.converged)
             else:
                 dev = spmv.to_device(op)
                 mv = spmv.make_matvec(dev)

@@ -224,7 +224,8 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
         if key not in op_cache:
             if use_split:
                 from .ops import split as split_mod
-                op_cache[key] = split_mod.make_matvec_pair(build(jnup, jndw))
+                op_cache[key] = split_mod.make_matvec_pair_padded(
+                    build(jnup, jndw))
             else:
                 dev = spmv.to_device(build(jnup, jndw))
                 op_cache[key] = spmv.make_matvec(dev)
@@ -264,12 +265,13 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                             meta.append(((a, b), -1j))
                 batch = np.stack(vecs)
                 nlanc = min(batch.shape[1], cfg.lanc_ngfiter)
-                mv = matvec_for(jnup, jndw)
                 if use_split:
+                    mv, dim_p, embed, extract = matvec_for(jnup, jndw)
                     alphas, betas, norms = \
                         lanczos.lanczos_tridiag_batched_split(
-                            mv, batch, nlanc)
+                            mv, embed(batch), nlanc)
                 else:
+                    mv = matvec_for(jnup, jndw)
                     alphas, betas, norms = lanczos.lanczos_tridiag_batched(
                         mv, jnp.asarray(batch), nlanc)
                 for k, ((a, b), vfac) in enumerate(meta):

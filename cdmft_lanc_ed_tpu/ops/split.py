@@ -171,11 +171,39 @@ class DenseSplitOp:
         return cls(*children)
 
 
-def to_device_dense_split(op: SectorOperator) -> DenseSplitOp:
+def _bucket(n: int, mult: int = 128) -> int:
+    """Round up to the MXU tile multiple: aligns matmul shapes AND
+    collapses the number of distinct compiled kernels across the sector
+    sweep (compile-cache bucketing, SURVEY.md 'sector heterogeneity')."""
+    if n <= 64:
+        return n            # tiny dims: padding overhead dominates
+    return -(-n // mult) * mult
+
+
+def to_device_dense_split(op: SectorOperator,
+                          pad_to: tuple = None) -> DenseSplitOp:
+    """Device arrays for the dense-factor kernel.  ``pad_to=(ddp, dup)``
+    zero-pads both factors to a shape bucket: padded modes get a +1e6
+    diagonal (far above the physical spectrum) and are exactly decoupled
+    (block-diagonal), so vectors that start zero in the padding stay zero
+    through any Krylov iteration."""
     hu = op.h_up.to_dense()
     hd = op.h_dw.to_dense()
-    t = len(op.nd_terms)
     du, dd = op.dim_up, op.dim_dw
+    diag = op.diag()
+    if pad_to is not None:
+        ddp, dup = pad_to
+        diag_p = np.full((ddp, dup), 1e6)
+        diag_p[:dd, :du] = diag
+        diag = diag_p
+        hu_p = np.zeros((dup, dup), np.complex128)
+        hu_p[:du, :du] = hu
+        hu = hu_p
+        hd_p = np.zeros((ddp, ddp), np.complex128)
+        hd_p[:dd, :dd] = hd
+        hd = hd_p
+        du, dd = dup, ddp
+    t = len(op.nd_terms)
     if t:
         amp = np.array([x.amp for x in op.nd_terms])
         nd_upT = np.zeros((t, du, du))
@@ -193,7 +221,7 @@ def to_device_dense_split(op: SectorOperator) -> DenseSplitOp:
         nd_dw = np.zeros((0, dd, dd))
     c = np.ascontiguousarray
     return DenseSplitOp(
-        diag=jnp.asarray(op.diag(), jnp.float64),
+        diag=jnp.asarray(diag, jnp.float64),
         hdw_r=jnp.asarray(c(hd.real), jnp.float64),
         hdw_i=jnp.asarray(c(hd.imag), jnp.float64),
         hdw_s=jnp.asarray(c(hd.real + hd.imag), jnp.float64),
@@ -257,12 +285,25 @@ def make_matvec_pair(op: SectorOperator):
     current backend, plus its (dim_dw, dim_up) shape."""
     dd, du = op.dim_dw, op.dim_up
     if max(du, dd) <= DENSE_FACTOR_MAX:
-        dev = to_device_dense_split(op)
+        ddp, dup = _bucket(dd), _bucket(du)
+        if (ddp, dup) == (dd, du):
+            dev = to_device_dense_split(op)
+
+            def mv(vr, vi):
+                wr, wi = matvec_dense_pair(dev, vr.reshape(dd, du),
+                                           vi.reshape(dd, du))
+                return wr.reshape(-1), wi.reshape(-1)
+
+            return mv
+
+        dev = to_device_dense_split(op, pad_to=(ddp, dup))
 
         def mv(vr, vi):
-            wr, wi = matvec_dense_pair(dev, vr.reshape(dd, du),
-                                       vi.reshape(dd, du))
-            return wr.reshape(-1), wi.reshape(-1)
+            pw = ((0, ddp - dd), (0, dup - du))
+            xr = jnp.pad(vr.reshape(dd, du), pw)
+            xi = jnp.pad(vi.reshape(dd, du), pw)
+            wr, wi = matvec_dense_pair(dev, xr, xi)
+            return wr[:dd, :du].reshape(-1), wi[:dd, :du].reshape(-1)
 
         return mv
     dev = to_device_split(op)
@@ -272,6 +313,44 @@ def make_matvec_pair(op: SectorOperator):
         return w[0].reshape(-1), w[1].reshape(-1)
 
     return mv
+
+
+def make_matvec_pair_padded(op: SectorOperator):
+    """Bucketed-shape pair matvec operating on the PADDED flat dim.
+
+    Returns (mv, dim_p, embed, extract): ``mv`` maps flat [dim_p] pairs;
+    ``embed`` embeds a logical complex [*, dim] array into [*, dim_p]
+    (zeros in the padding — exactly preserved by the operator, whose padded
+    modes are decoupled at +1e6); ``extract`` inverts it.  Running the
+    WHOLE Krylov iteration at the padded shape collapses the number of
+    distinct compiled kernels across the sector sweep."""
+    dd, du = op.dim_dw, op.dim_up
+    ddp, dup = _bucket(dd), _bucket(du)
+    if max(du, dd) <= DENSE_FACTOR_MAX:
+        dev = to_device_dense_split(
+            op, pad_to=(ddp, dup) if (ddp, dup) != (dd, du) else None)
+
+        def mv(vr, vi):
+            wr, wi = matvec_dense_pair(dev, vr.reshape(ddp, dup),
+                                       vi.reshape(ddp, dup))
+            return wr.reshape(-1), wi.reshape(-1)
+    else:
+        mv_l = make_matvec_pair(op)
+        ddp, dup = dd, du
+        mv = mv_l
+
+    def embed(v):
+        v = np.asarray(v)
+        out = np.zeros(v.shape[:-1] + (ddp, dup), v.dtype)
+        out[..., :dd, :du] = v.reshape(v.shape[:-1] + (dd, du))
+        return out.reshape(v.shape[:-1] + (ddp * dup,))
+
+    def extract(v):
+        v = np.asarray(v)
+        return v.reshape(v.shape[:-1] + (ddp, dup))[..., :dd, :du] \
+            .reshape(v.shape[:-1] + (dd * du,))
+
+    return mv, ddp * dup, embed, extract
 
 
 def make_matvec_tpu(op: SectorOperator):
