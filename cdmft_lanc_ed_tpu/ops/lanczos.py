@@ -370,6 +370,57 @@ def lanczos_eigh(matvec: Callable, dim: int, neigen: int,
         t_proj[:k, k] = b_row.conj()
 
 
+def rayleigh_refine(matvec_pair64, vecs: np.ndarray, neigen: int):
+    """f64 Rayleigh-Ritz refinement of an approximate eigenbasis.
+
+    vecs : complex [k, dim] approximate eigenvectors (e.g. from an f32
+    Krylov run).  Orthonormalises in f64, applies H once per vector with
+    the f64 kernel, diagonalises the k x k Rayleigh quotient.  Energy
+    error ~ ||residual||^2 / gap: 1e-6-accurate f32 vectors give
+    ~1e-12-accurate energies (the standard mixed-precision scheme used by
+    the TPU ground-state literature, e.g. arXiv:2111.10466)."""
+    k, dim = vecs.shape
+    q, _ = np.linalg.qr(vecs.T)            # [dim, k] orthonormal
+    w = np.empty((dim, k), np.complex128)
+    for j in range(k):
+        wr, wi = matvec_pair64(jnp.asarray(q[:, j].real),
+                               jnp.asarray(q[:, j].imag))
+        w[:, j] = np.asarray(wr) + 1j * np.asarray(wi)
+    hk = q.conj().T @ w
+    hk = 0.5 * (hk + hk.conj().T)
+    theta, s = np.linalg.eigh(hk)
+    new_vecs = (q @ s).T                   # [k, dim]
+    resid = np.linalg.norm(w @ s - new_vecs.T * theta[None, :], axis=0)
+    return theta[:neigen], new_vecs[:neigen], resid[:neigen]
+
+
+def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
+                       ncv: int, maxiter: int = 512, tol: float = 1e-14,
+                       v0: Optional[np.ndarray] = None,
+                       seed: int = 8527) -> EighResult:
+    """Mixed-precision eigensolver: f32 thick-restart Lanczos for the
+    Krylov iterations (MXU throughput), one f64 Rayleigh-Ritz refinement
+    for the eigenvalues.  Falls back to a short f64 polish run when the
+    refined residuals do not meet ``tol``."""
+    f32_tol = max(tol, 2e-6)
+    res32 = lanczos_eigh_split(matvec_pair32, dim, neigen=neigen, ncv=ncv,
+                               maxiter=maxiter, tol=f32_tol, v0=v0,
+                               seed=seed)
+    theta, vecs, resid = rayleigh_refine(matvec_pair64,
+                                         res32.eigenvectors, neigen)
+    nmv = res32.iterations + len(res32.eigenvectors)
+    # residual-based error estimate; polish in f64 if insufficient
+    ok = np.all(resid <= np.sqrt(max(tol, 1e-15))
+                * np.maximum(np.abs(theta), 1.0))
+    if not ok:
+        res64 = lanczos_eigh_split(matvec_pair64, dim, neigen=neigen,
+                                   ncv=ncv, maxiter=maxiter, tol=tol,
+                                   v0=vecs[0], seed=seed)
+        return EighResult(res64.eigenvalues, res64.eigenvectors,
+                          nmv + res64.iterations, res64.converged)
+    return EighResult(theta, vecs, nmv, True)
+
+
 # ---------------------------------------------------------------------------
 # ground-state plain Lanczos (lanc_method="lanczos", T=0 only)
 # ---------------------------------------------------------------------------

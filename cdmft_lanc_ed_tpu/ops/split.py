@@ -180,13 +180,14 @@ def _bucket(n: int, mult: int = 128) -> int:
     return -(-n // mult) * mult
 
 
-def to_device_dense_split(op: SectorOperator,
-                          pad_to: tuple = None) -> DenseSplitOp:
+def to_device_dense_split(op: SectorOperator, pad_to: tuple = None,
+                          dtype=jnp.float64) -> DenseSplitOp:
     """Device arrays for the dense-factor kernel.  ``pad_to=(ddp, dup)``
     zero-pads both factors to a shape bucket: padded modes get a +1e6
     diagonal (far above the physical spectrum) and are exactly decoupled
     (block-diagonal), so vectors that start zero in the padding stay zero
-    through any Krylov iteration."""
+    through any Krylov iteration.  ``dtype=jnp.float32`` builds the
+    reduced-precision operator used by the mixed-precision eigensolver."""
     hu = op.h_up.to_dense()
     hd = op.h_dw.to_dense()
     du, dd = op.dim_up, op.dim_dw
@@ -221,17 +222,17 @@ def to_device_dense_split(op: SectorOperator,
         nd_dw = np.zeros((0, dd, dd))
     c = np.ascontiguousarray
     return DenseSplitOp(
-        diag=jnp.asarray(diag, jnp.float64),
-        hdw_r=jnp.asarray(c(hd.real), jnp.float64),
-        hdw_i=jnp.asarray(c(hd.imag), jnp.float64),
-        hdw_s=jnp.asarray(c(hd.real + hd.imag), jnp.float64),
-        hupT_r=jnp.asarray(c(hu.real.T), jnp.float64),
-        hupT_i=jnp.asarray(c(hu.imag.T), jnp.float64),
-        hupT_s=jnp.asarray(c(hu.real.T + hu.imag.T), jnp.float64),
-        nd_amp_r=jnp.asarray(nd_amp_r, jnp.float64),
-        nd_amp_i=jnp.asarray(nd_amp_i, jnp.float64),
-        nd_upT=jnp.asarray(nd_upT, jnp.float64),
-        nd_dw=jnp.asarray(nd_dw, jnp.float64),
+        diag=jnp.asarray(diag, dtype),
+        hdw_r=jnp.asarray(c(hd.real), dtype),
+        hdw_i=jnp.asarray(c(hd.imag), dtype),
+        hdw_s=jnp.asarray(c(hd.real + hd.imag), dtype),
+        hupT_r=jnp.asarray(c(hu.real.T), dtype),
+        hupT_i=jnp.asarray(c(hu.imag.T), dtype),
+        hupT_s=jnp.asarray(c(hu.real.T + hu.imag.T), dtype),
+        nd_amp_r=jnp.asarray(nd_amp_r, dtype),
+        nd_amp_i=jnp.asarray(nd_amp_i, dtype),
+        nd_upT=jnp.asarray(nd_upT, dtype),
+        nd_dw=jnp.asarray(nd_dw, dtype),
     )
 
 
@@ -315,7 +316,7 @@ def make_matvec_pair(op: SectorOperator):
     return mv
 
 
-def make_matvec_pair_padded(op: SectorOperator):
+def make_matvec_pair_padded(op: SectorOperator, dtype=jnp.float64):
     """Bucketed-shape pair matvec operating on the PADDED flat dim.
 
     Returns (mv, dim_p, embed, extract): ``mv`` maps flat [dim_p] pairs;
@@ -328,7 +329,8 @@ def make_matvec_pair_padded(op: SectorOperator):
     ddp, dup = _bucket(dd), _bucket(du)
     if max(du, dd) <= DENSE_FACTOR_MAX:
         dev = to_device_dense_split(
-            op, pad_to=(ddp, dup) if (ddp, dup) != (dd, du) else None)
+            op, pad_to=(ddp, dup) if (ddp, dup) != (dd, du) else None,
+            dtype=dtype)
 
         def mv(vr, vi):
             wr, wi = matvec_dense_pair(dev, vr.reshape(ddp, dup),

@@ -92,3 +92,39 @@ def test_dense_split_matvec_matches_complex():
     want = op.matvec_np(v)
     got = split.unsplit(np.asarray(mv(jnp.asarray(split.split_of(v)))))
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_mixed_precision_eigensolver():
+    """f32 Krylov + f64 Rayleigh refinement reaches f64-grade energies."""
+    cfg, op = make_op()
+    mv32, dim_p, embed, extract = split.make_matvec_pair_padded(
+        op, dtype=jnp.float32)
+    mv64, dim_p2, _, _ = split.make_matvec_pair_padded(op)
+    assert dim_p == dim_p2
+    rng = np.random.default_rng(0)
+    v0 = embed(rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim))
+    res = lanczos.lanczos_eigh_mixed(mv32, mv64, dim_p, neigen=3, ncv=30,
+                                     maxiter=600, tol=1e-12, v0=v0)
+    w = np.linalg.eigvalsh(op.to_dense())
+    np.testing.assert_allclose(res.eigenvalues, w[:3], atol=5e-9)
+    vecs = extract(res.eigenvectors)
+    for i in range(3):
+        hv = op.matvec_np(vecs[i])
+        nrm = np.linalg.norm(vecs[i])
+        assert np.linalg.norm(hv - w[i] * vecs[i]) / nrm < 1e-4
+
+
+def test_full_solver_mixed_precision(tmp_path, monkeypatch):
+    """End-to-end solve with ed_precision='mixed' on the split backend."""
+    monkeypatch.setenv("CDMFT_SPLIT_BACKEND", "1")
+    from cdmft_lanc_ed_tpu import EDSolver
+    h = np.zeros((4, 4, 1, 1, 1, 1), dtype=complex)
+    for (i, j) in [(0, 1), (0, 2), (1, 3), (2, 3)]:
+        h[i, j, 0, 0, 0, 0] = h[j, i, 0, 0, 0, 0] = -1.0
+    cfg = EDConfig(nlat=4, norb=1, nspin=1, nbath=0, uloc=[4.0],
+                   gf_flag=False, ed_verbose=0, lanc_dim_threshold=8,
+                   ed_precision="mixed", work_dir=str(tmp_path))
+    s = EDSolver(cfg)
+    s.init_solver()
+    s.solve(np.zeros(0), h)
+    assert s.egs == pytest.approx(-6.102748483462073, abs=1e-7)
