@@ -108,3 +108,14 @@ def test_bath_restart_roundtrip(tmp_path):
     bb2 = bm.unpack_dmft_bath(cfg, b2)
     np.testing.assert_allclose(bb2.v, bb.v, atol=1e-10)
     np.testing.assert_allclose(bb2.lam, bb.lam, atol=1e-10)
+
+
+def test_compat_api(tmp_path):
+    """Reference-named ed_* wrappers work end-to-end."""
+    from cdmft_lanc_ed_tpu import compat as C
+    s = plaquette_solver(tmp_path, gf_flag=True)
+    assert C.ed_get_dens(s).sum() == pytest.approx(4.0, abs=1e-7)
+    assert C.ed_get_sigma_matsubara(s).shape[-1] == s.cfg.lmats
+    g = C.ed_gf_cluster(s, 1j * np.pi / s.cfg.beta)
+    assert g.shape == (4, 4, 1, 1, 1, 1, 1)
+    assert C.ed_get_doubles(s).shape == (4,)
