@@ -23,8 +23,8 @@ w.r.t. (V, lambda), which is what powers the autodiff chi^2 bath fit.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

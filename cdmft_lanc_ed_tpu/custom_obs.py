@@ -21,7 +21,7 @@ arbitrary z from the stored GF pole/weight spectrum (ed_gf_cluster).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import jax
@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bath import basis_lso_of, invg0_bath_lso
-from .config import EDConfig
 from .gf import evaluate_gf_nnn
 from .utils.reshape import nnn2lso
 

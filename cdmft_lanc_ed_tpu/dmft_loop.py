@@ -14,7 +14,6 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from .config import EDConfig
 from .fit import chi2_fitgf
 from .lattice import ConvergenceCheck, MuSearch, dmft_gloc_matsubara, \
     dmft_self_consistency

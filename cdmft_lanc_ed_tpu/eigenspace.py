@@ -10,7 +10,7 @@ entries whose vector is reconstructed on demand by the spin-flip reordering
 from __future__ import annotations
 
 import bisect
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

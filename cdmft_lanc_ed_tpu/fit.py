@@ -24,7 +24,6 @@ Reference semantics kept exactly:
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -23,15 +23,14 @@ weights); the execution model is redesigned for the hardware:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bath import BathBasis, DmftBath, basis_lso_of, g0and_bath_lso, \
-    invg0_bath_lso
+from .bath import BathBasis, DmftBath, basis_lso_of, invg0_bath_lso
 from .config import EDConfig
 from .diag import DiagState
 from .ops import lanczos, sector_ham, spmv

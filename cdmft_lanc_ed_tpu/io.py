@@ -10,13 +10,12 @@ scripts written for the reference keep working:
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 
 from .config import EDConfig
-from .gf import GFResult, GFSpectrum, evaluate_gf_nnn
-from .utils import fock
+from .gf import GFResult, GFSpectrum
 
 
 # ---------------------------------------------------------------------------

@@ -15,12 +15,10 @@ because equal cluster geometry means equal sector shapes (one jit cache).
 from __future__ import annotations
 
 import copy
-from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 
-from . import bath as bath_mod
 from .config import EDConfig
 from .fit import chi2_fitgf
 from .solver import EDSolver

@@ -15,7 +15,6 @@ from typing import Tuple
 
 import numpy as np
 
-from ..config import EDConfig
 from ..utils.reshape import nnn2lso
 from ..lattice import build_kgrid
 

@@ -11,7 +11,6 @@ from typing import Tuple
 
 import numpy as np
 
-from ..lattice import build_kgrid
 from ..utils.reshape import nnn2lso
 
 

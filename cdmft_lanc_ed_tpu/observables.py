@@ -15,8 +15,7 @@ reference's per-Fock-state loops (ED_OBSERVABLES.f90:146-236):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -18,7 +18,6 @@ Replaces the reference's external P-ARPACK / SciFortran SF_SP_LINALG layer
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

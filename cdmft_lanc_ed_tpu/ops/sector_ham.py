@@ -29,7 +29,7 @@ index i = iup + idw*DimUp, ED_SETUP.f90:547-560).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -17,8 +17,6 @@ exploits the tensor-product split exactly as the reference MPI kernel
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ parallel and ride the same mesh.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

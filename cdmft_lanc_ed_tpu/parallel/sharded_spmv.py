@@ -24,9 +24,6 @@ batched instead (see sector scheduler).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

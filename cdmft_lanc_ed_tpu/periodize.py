@@ -17,7 +17,7 @@ Schemes (cdn_bhz_postprocessing.f90:354-568):
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

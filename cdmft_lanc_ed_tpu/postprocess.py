@@ -14,12 +14,12 @@ ED_GREENS_FUNCTIONS.f90:114-127):
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 
 from .config import EDConfig
-from .utils.reshape import nn2so, nnn2lso
+from .utils.reshape import nnn2lso
 
 
 # ---------------------------------------------------------------------------

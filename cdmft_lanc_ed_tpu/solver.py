@@ -9,7 +9,6 @@ the latest results; all device work happens inside the diag/GF stages.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 import numpy as np

@@ -22,7 +22,6 @@ device once per sector.  Conventions match the reference exactly:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import lru_cache
 from math import comb
 from typing import Tuple

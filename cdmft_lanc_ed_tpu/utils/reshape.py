@@ -8,7 +8,6 @@ Implemented as pure reshape/transpose so they are free inside jit.
 """
 from __future__ import annotations
 
-import numpy as np
 
 
 def index_stride_lso(ilat: int, ispin: int, iorb: int, nlat: int, norb: int) -> int:
