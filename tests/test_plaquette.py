@@ -115,3 +115,14 @@ def test_cluster_density_matrix_plaquette(tmp_path):
     diag = np.real(np.diag(rho))
     n0 = sum(diag[io] for io in range(256) if (io % 16) & 1)
     assert n0 == pytest.approx(s.obs.dens_up[0, 0], abs=1e-9)
+
+
+def test_gf_symmetric_mode_agrees(tmp_path):
+    """ed_gf_symmetric=True (2-channel mixing) must reproduce the default
+    4-channel GF for a real-symmetric Hamiltonian."""
+    cfg4 = make_cfg(work_dir=str(tmp_path))
+    s4 = solve(cfg4, plaquette_hloc())
+    cfg2 = make_cfg(ed_gf_symmetric=True, work_dir=str(tmp_path))
+    s2 = solve(cfg2, plaquette_hloc())
+    np.testing.assert_allclose(s2.gf.gmats, s4.gf.gmats, atol=1e-7)
+    np.testing.assert_allclose(s2.gf.smats, s4.gf.smats, atol=1e-5)
