@@ -157,6 +157,10 @@ class EDConfig:
             raise ValueError("norb > 5 is not supported")
         if self.bath_type not in ("replica", "general"):
             raise ValueError(f"unknown bath_type '{self.bath_type}'")
+        if self.ed_precision not in ("complex128", "mixed"):
+            raise ValueError(
+                f"ed_precision must be 'complex128' or 'mixed', "
+                f"got '{self.ed_precision}'")
         if self.lfit > self.lmats:
             self.lfit = self.lmats
         if self.lanc_method == "lanczos" and self.lanc_nstates_total > 1:

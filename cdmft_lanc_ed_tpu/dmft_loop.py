@@ -63,6 +63,14 @@ def run_dmft_loop(solver: EDSolver, hk: np.ndarray, hloc_nnn: np.ndarray,
         bath_prev = bath_new.copy()
         bath = bath_new
 
+        # persist the fitted bath for crash/restart continuation
+        import os
+        from . import bath as bath_mod
+        bath_mod.save_dmft_bath(
+            cfg, bath_mod.unpack_dmft_bath(cfg, bath),
+            os.path.join(cfg.work_dir,
+                         cfg.hfile + cfg.ed_file_suffix + ".restart"))
+
         done = conv(weiss.ravel())
         err = conv.error
         log(f"  error={err:.3e} chi2={chi2:.3e} "
