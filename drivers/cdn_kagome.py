@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--nk", type=int, default=10)
     ap.add_argument("--ts", type=float, default=1.0)
     ap.add_argument("--wmixing", type=float, default=0.5)
+    ap.add_argument("--bands", action="store_true",
+                    help="write band structure (cdn_kagome_bands variant)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -45,6 +47,24 @@ def main():
     print(f"converged={res.converged} after {res.iterations} loops")
     print("dens =", res.solver.dens().ravel())
     print("docc =", res.solver.docc().ravel())
+
+    if args.bands:
+        # cdn_kagome_bands variant: topological-Hamiltonian band structure
+        from cdmft_lanc_ed_tpu.models.kagome import SUPERCELL, kagome_hk_at
+        from cdmft_lanc_ed_tpu.periodize import cluster_coords
+        from cdmft_lanc_ed_tpu import postprocess
+        from cdmft_lanc_ed_tpu.utils.reshape import nnn2lso
+        b = 2 * np.pi * np.linalg.inv(SUPERCELL).T
+
+        def hk_fn(k):
+            return nnn2lso(kagome_hk_at(k, args.ts, cfg.nspin), 3,
+                           cfg.nspin, 1)
+
+        kpath = [np.zeros(2), b[0] / 2, (b[0] + b[1]) / 3, np.zeros(2)]
+        kd, bands = postprocess.band_structure(hk_fn, kpath, npts=40)
+        np.savetxt(os.path.join(cfg.work_dir, "kagome_bands.ed"),
+                   np.column_stack([kd, bands]))
+        print("bands written to kagome_bands.ed")
 
 
 if __name__ == "__main__":

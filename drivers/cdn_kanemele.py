@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--mh", type=float, default=0.0)
     ap.add_argument("--lam", type=float, default=0.1)
     ap.add_argument("--wmixing", type=float, default=0.5)
+    ap.add_argument("--bands", action="store_true",
+                    help="write band structure + Z2 "
+                         "(cdn_kanemele_bands variant)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -64,6 +67,24 @@ def main():
     co = CustomObservables(res.solver, hk)
     co.add("dens", obs)
     print("custom:", co.compute())
+
+    if args.bands:
+        from cdmft_lanc_ed_tpu.models.kanemele import SUPERCELL, \
+            kanemele_hk_at
+        from cdmft_lanc_ed_tpu import postprocess
+        from cdmft_lanc_ed_tpu.utils.reshape import nnn2lso
+        b = 2 * np.pi * np.linalg.inv(SUPERCELL).T
+
+        def hk_fn(k):
+            return nnn2lso(kanemele_hk_at(k, args.ts, args.mh, args.lam),
+                           6, 2, 1)
+
+        kpath = [np.zeros(2), b[0] / 2, (b[0] + b[1]) / 3, np.zeros(2)]
+        kd, bands = postprocess.band_structure(hk_fn, kpath, npts=40)
+        np.savetxt(os.path.join(cfg.work_dir, "kanemele_bands.ed"),
+                   np.column_stack([kd, bands]))
+        c_up, c_dw, z2 = postprocess.spin_chern_z2(hk_fn, b, 10, 12, 3)
+        print(f"bands written; C_up={c_up:+.3f} C_dw={c_dw:+.3f} Z2={z2}")
 
 
 if __name__ == "__main__":
