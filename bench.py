@@ -61,11 +61,11 @@ def main():
     nnz_per_s = nnz * steps / dt
 
     # The kernel is compute-bound: the tensor-product factors are applied as
-    # dense f64 MXU matmuls (8 real matmuls of the spin factors per H·v).
-    # Roofline = achieved f64 FLOP rate vs the ~2 TFLOP/s ceiling of
-    # XLA's emulated-f64 matmul on this chip (measured envelope).
-    flops_per_mv = 8 * 2 * (dd * dd * du + du * du * dd) / 2  # dw+up terms
-    tflops = flops_per_mv * steps / dt / 1e12
+    # dense f64 MXU matmuls, 3 per complex product (Karatsuba) = 6 per H·v.
+    # Roofline = executed f64 FLOP rate vs the ~2 TFLOP/s ceiling of XLA's
+    # emulated-f64 matmul on this chip (measured envelope).
+    flops_exec = 6 * 2 * (dd * dd * du + du * du * dd) / 2  # 3 mm per side
+    tflops = flops_exec * steps / dt / 1e12
     roof_tflops = 2.0
     print(json.dumps({
         "metric": "lanczos_spmv_nnz_per_s",
