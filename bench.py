@@ -27,8 +27,11 @@ def main():
     from cdmft_lanc_ed_tpu.ops import split
 
     _, op = ge._plaquette_bath_op(nbath=2, nup=6, ndw=6)
-    dev = split.to_device_dense_split(op)
-    dd, du = dev.diag.shape
+    # the production kernel: dense factors bucketed to MXU-aligned shapes
+    dd = split._bucket(op.dim_dw)
+    du = split._bucket(op.dim_up)
+    dev = split.to_device_dense_split(
+        op, pad_to=(dd, du) if (dd, du) != (op.dim_dw, op.dim_up) else None)
     nnz = op.nnz
 
     from functools import partial
@@ -44,8 +47,15 @@ def main():
         return c
 
     rng = np.random.default_rng(0)
-    vr = jnp.asarray(rng.normal(size=(dd, du)) / np.sqrt(2 * op.dim))
-    vi = jnp.asarray(rng.normal(size=(dd, du)) / np.sqrt(2 * op.dim))
+    # zero padding region (decoupled +1e6 modes stay exactly zero)
+    vr0 = np.zeros((dd, du))
+    vi0 = np.zeros((dd, du))
+    vr0[:op.dim_dw, :op.dim_up] = rng.normal(
+        size=(op.dim_dw, op.dim_up)) / np.sqrt(2 * op.dim)
+    vi0[:op.dim_dw, :op.dim_up] = rng.normal(
+        size=(op.dim_dw, op.dim_up)) / np.sqrt(2 * op.dim)
+    vr = jnp.asarray(vr0)
+    vi = jnp.asarray(vi0)
 
     # warmup/compile THE SAME static shape that is timed
     steps = 30
