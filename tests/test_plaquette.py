@@ -126,3 +126,17 @@ def test_gf_symmetric_mode_agrees(tmp_path):
     s2 = solve(cfg2, plaquette_hloc())
     np.testing.assert_allclose(s2.gf.gmats, s4.gf.gmats, atol=1e-7)
     np.testing.assert_allclose(s2.gf.smats, s4.gf.smats, atol=1e-5)
+
+
+def test_gtau_consistency(tmp_path):
+    """G(tau) from the Lehmann poles: boundary sum rule
+    G(0+) + G(beta-) = -<{c, c+}> = -1 and density consistency
+    n = -G(tau -> beta-)."""
+    cfg = make_cfg(beta=20.0, work_dir=str(tmp_path))
+    s = solve(cfg, plaquette_hloc())
+    spec = s.gf.spectrum
+    g0 = spec.evaluate_tau((0, 0, 0, 0, 0), np.array([1e-12]), 20.0)[0]
+    gb = spec.evaluate_tau((0, 0, 0, 0, 0), np.array([20.0 - 1e-12]),
+                           20.0)[0]
+    assert g0 + gb == pytest.approx(-1.0, abs=1e-8)
+    assert -gb == pytest.approx(s.obs.dens_up[0, 0], abs=1e-6)
