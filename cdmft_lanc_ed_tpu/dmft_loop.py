@@ -34,9 +34,15 @@ class DMFTResult:
 def run_dmft_loop(solver: EDSolver, hk: np.ndarray, hloc_nnn: np.ndarray,
                   bath: np.ndarray, wmixing: float = 0.5,
                   log: Callable[[str], None] = lambda s: None,
-                  max_loops: Optional[int] = None) -> DMFTResult:
+                  max_loops: Optional[int] = None,
+                  adaptive_mixing: bool = False) -> DMFTResult:
     """Run the DMFT loop until convergence (driver loop equivalent,
-    drivers/cdn_hm_2dsquare.f90:119-198)."""
+    drivers/cdn_hm_2dsquare.f90:119-198).
+
+    ``adaptive_mixing`` reproduces the cdn_bhz_2d_adaptive_mix variant:
+    when the self-consistency error grows, the mixing weight is halved;
+    after two consecutive improvements it relaxes back toward the
+    initial value."""
     cfg = solver.cfg
     nloop = max_loops if max_loops is not None else cfg.nloop
     conv = ConvergenceCheck(cfg.dmft_error, cfg.nsuccess)
@@ -46,6 +52,9 @@ def run_dmft_loop(solver: EDSolver, hk: np.ndarray, hloc_nnn: np.ndarray,
     gloc = weiss = None
     err = np.inf
     it = 0
+    wmix0 = wmixing
+    prev_err = np.inf
+    improve_streak = 0
 
     for it in range(1, nloop + 1):
         log(f"DMFT loop {it}/{nloop}")
@@ -75,6 +84,18 @@ def run_dmft_loop(solver: EDSolver, hk: np.ndarray, hloc_nnn: np.ndarray,
         err = conv.error
         log(f"  error={err:.3e} chi2={chi2:.3e} "
             f"dens={solver.dens().sum():.6f} egs={solver.egs:.8f}")
+
+        if adaptive_mixing and np.isfinite(prev_err):
+            if err > prev_err:
+                wmixing = max(0.05, 0.5 * wmixing)
+                improve_streak = 0
+                log(f"  adaptive mixing -> {wmixing:.3f}")
+            else:
+                improve_streak += 1
+                if improve_streak >= 2 and wmixing < wmix0:
+                    wmixing = min(wmix0, 1.5 * wmixing)
+                    improve_streak = 0
+        prev_err = err
 
         if mu_search is not None:
             dens = float(solver.dens().sum())

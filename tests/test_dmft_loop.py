@@ -76,3 +76,12 @@ def test_2x2_plaquette_with_bath_cdmft(tmp_path):
     diag0 = sm[0, 0, 0, 0, 0, 0, 0]
     for il in range(1, 4):
         assert sm[il, il, 0, 0, 0, 0, 0] == pytest.approx(diag0, abs=1e-6)
+
+
+def test_adaptive_mixing_converges(tmp_path):
+    solver, bath = setup_solver(tmp_path)
+    hk, hloc = square_cluster_hk(1, 1, nk=8)
+    res = run_dmft_loop(solver, hk, hloc, bath, wmixing=0.9,
+                        adaptive_mixing=True)
+    assert res.converged
+    np.testing.assert_allclose(res.solver.dens(), 1.0, atol=1e-6)
