@@ -129,3 +129,28 @@ def test_convergence_check():
     assert not c(f * (1 + 1e-5))      # first success
     assert c(f * (1 + 1e-5))          # second success -> converged
     assert not lattice.ConvergenceCheck(1e-9)(np.ones(3))
+
+
+def test_chi2_fit_general_bath():
+    """General bath: per-lso-component V fit (GENERAL variant,
+    ED_FIT_GENERAL.f90)."""
+    cfg = EDConfig(nlat=1, norb=2, nspin=1, nbath=2, beta=40.0, lmats=150,
+                   lfit=150, bath_type="general", cg_scheme="delta",
+                   cg_ftol=1e-11, cg_niter=1500, ed_verbose=0)
+    basis = np.zeros((2, 1, 1, 1, 1, 2, 2), complex)
+    basis[0, 0, 0, 0, 0, 0, 0] = 1.0
+    basis[1, 0, 0, 0, 0, 1, 1] = 1.0
+    hb = bath_mod.set_hbath(basis, np.array([[0.5, -0.4], [-0.6, 0.3]]),
+                            cfg)
+    target = bath_mod.DmftBath(v=np.array([[0.4, 0.7], [0.6, 0.2]]),
+                               lam=np.array([[0.5, -0.4], [-0.6, 0.3]]))
+    wm = np.pi / cfg.beta * (2 * np.arange(cfg.lmats) + 1)
+    fg = bath_mod.delta_bath(cfg, hb, target, 1j * wm)
+    start = bath_mod.DmftBath(v=np.array([[0.3, 0.5], [0.5, 0.3]]),
+                              lam=np.array([[0.4, -0.3], [-0.4, 0.2]]))
+    bfit, chi2, _ = chi2_fitgf(cfg, hb, fg,
+                               bath_mod.pack_dmft_bath(cfg, start))
+    fitted = bath_mod.unpack_dmft_bath(cfg, bfit)
+    d_fit = bath_mod.delta_bath(cfg, hb, fitted, 1j * wm)
+    assert chi2 < 1e-9
+    np.testing.assert_allclose(d_fit, fg, atol=1e-4)
