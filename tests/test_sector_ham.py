@@ -115,3 +115,25 @@ def test_sector_states_combinadic_matches_filter():
         allstates = np.arange(1 << ns, dtype=np.int64)
         filt = allstates[fock.popcount(allstates) == n]
         np.testing.assert_array_equal(ref, filt)
+
+
+def test_python_fallback_matches_native(monkeypatch):
+    """CDMFT_NO_NATIVE=1 must produce identical sector tables."""
+    import importlib
+    from cdmft_lanc_ed_tpu.utils import fock
+    from cdmft_lanc_ed_tpu.native import loader
+    st_native = np.array(fock.sector_states(10, 4))
+    r1, c1, s1 = fock.hop_entries(st_native, 2, 7)
+    monkeypatch.setenv("CDMFT_NO_NATIVE", "1")
+    monkeypatch.setattr(loader, "_lib", None)
+    monkeypatch.setattr(loader, "_tried", False)
+    fock.sector_states.cache_clear()
+    try:
+        st_py = np.array(fock.sector_states(10, 4))
+        np.testing.assert_array_equal(st_py, st_native)
+        r2, c2, s2 = fock.hop_entries(st_py, 2, 7)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(s1, s2)
+    finally:
+        fock.sector_states.cache_clear()
+        monkeypatch.setattr(loader, "_tried", False)
