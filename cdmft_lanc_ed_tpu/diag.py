@@ -151,7 +151,10 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
         dim = fock.get_sector_dim(isector, ns)
 
         if cfg.lanc_method == "lanczos":
-            neigen, nblock = 1, 1
+            # plain Lanczos (sp_lanc_eigh): single eigenpair, moderate
+            # Krylov block per restart (the reference grows the basis up to
+            # Nitermax; our thick restart reuses a 32-vector window)
+            neigen, nblock = 1, min(dim, 32)
         else:
             neigen = min(dim, int(state.neigen_sector[isector - 1]))
             nblock = min(dim, cfg.lanc_ncv_factor

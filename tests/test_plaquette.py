@@ -140,3 +140,11 @@ def test_gtau_consistency(tmp_path):
                            20.0)[0]
     assert g0 + gb == pytest.approx(-1.0, abs=1e-8)
     assert -gb == pytest.approx(s.obs.dens_up[0, 0], abs=1e-6)
+
+
+def test_lanc_method_lanczos(tmp_path):
+    """lanc_method='lanczos' (plain GS Lanczos, T=0) reproduces the GS."""
+    cfg = make_cfg(lanc_method="lanczos", gf_flag=False,
+                   lanc_dim_threshold=8, work_dir=str(tmp_path))
+    s = solve(cfg, plaquette_hloc())
+    assert s.egs == pytest.approx(-6.102748483462073, abs=1e-7)
