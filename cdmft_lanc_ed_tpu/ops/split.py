@@ -171,13 +171,22 @@ class DenseSplitOp:
         return cls(*children)
 
 
-def _bucket(n: int, mult: int = 128) -> int:
-    """Round up to the MXU tile multiple: aligns matmul shapes AND
-    collapses the number of distinct compiled kernels across the sector
-    sweep (compile-cache bucketing, SURVEY.md 'sector heterogeneity')."""
+# geometric shape ladder: compile times on the target backend (minutes per
+# shape) dwarf the <=1.7x FLOP padding waste, so sector dims snap to a
+# coarse ladder and e.g. the (5,5)/(5,6)/(6,6) flagship sectors all share
+# ONE compiled kernel (compile-cache bucketing, SURVEY.md 'sector
+# heterogeneity')
+_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
+            6144, 8192)
+
+
+def _bucket(n: int) -> int:
     if n <= 64:
         return n            # tiny dims: padding overhead dominates
-    return -(-n // mult) * mult
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 1024) * 1024
 
 
 def to_device_dense_split(op: SectorOperator, pad_to: tuple = None,
