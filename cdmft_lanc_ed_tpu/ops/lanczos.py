@@ -151,41 +151,66 @@ def lanczos_tridiag_batched_split(matvec_pair, v0: np.ndarray, niter: int):
             norms0)
 
 
-def _expand_step_split(matvec_pair):
-    """Split-representation CGS2 expansion step (TPU path).  The Krylov
-    basis lives as two separate f64 arrays (br, bi) [ncv+1, dim]."""
+def _expand_block_split(matvec_pair, ncv: int):
+    """Whole-restart CGS2 Lanczos expansion in ONE device call (TPU path).
+
+    Scans j = 0..ncv-1 with masked updates (steps j < k are skipped when
+    resuming from a thick restart of size k), so every restart costs a
+    single host-device round trip instead of ncv — essential over a
+    high-latency device tunnel.  The Krylov basis lives as two separate
+    f64 planes (br, bi) [ncv+1, dim].  Returns the projection columns
+    [ncv, ncv] (re/im) and betas [ncv]."""
+    P = jax.lax.Precision.HIGHEST
 
     @jax.jit
-    def step(br, bi, j):
+    def expand(br, bi, k):
         ncv1 = br.shape[0]
-        wr, wi = matvec_pair(br[j], bi[j])
-        mask = (jnp.arange(ncv1) <= j)
-        P = jax.lax.Precision.HIGHEST
 
-        def proj(wr, wi):
-            cr = jnp.where(mask, jnp.matmul(br, wr, precision=P)
-                           + jnp.matmul(bi, wi, precision=P), 0.0)
-            ci = jnp.where(mask, jnp.matmul(br, wi, precision=P)
-                           - jnp.matmul(bi, wr, precision=P), 0.0)
-            return cr, ci
+        def do_step(args):
+            br, bi, j = args
+            wr, wi = matvec_pair(br[j], bi[j])
+            mask = (jnp.arange(ncv1) <= j)
 
-        c1r, c1i = proj(wr, wi)
-        wr = wr - (jnp.matmul(c1r, br, precision=P)
-                   - jnp.matmul(c1i, bi, precision=P))
-        wi = wi - (jnp.matmul(c1r, bi, precision=P)
-                   + jnp.matmul(c1i, br, precision=P))
-        c2r, c2i = proj(wr, wi)
-        wr = wr - (jnp.matmul(c2r, br, precision=P)
-                   - jnp.matmul(c2i, bi, precision=P))
-        wi = wi - (jnp.matmul(c2r, bi, precision=P)
-                   + jnp.matmul(c2i, br, precision=P))
-        beta = jnp.sqrt(jnp.sum(wr ** 2 + wi ** 2))
-        denom = jnp.maximum(beta, 1e-300)
-        br = br.at[j + 1].set(wr / denom)
-        bi = bi.at[j + 1].set(wi / denom)
-        return br, bi, (c1r + c2r, c1i + c2i), beta
+            def proj(wr, wi):
+                cr = jnp.where(mask, jnp.matmul(br, wr, precision=P)
+                               + jnp.matmul(bi, wi, precision=P), 0.0)
+                ci = jnp.where(mask, jnp.matmul(br, wi, precision=P)
+                               - jnp.matmul(bi, wr, precision=P), 0.0)
+                return cr, ci
 
-    return step
+            c1r, c1i = proj(wr, wi)
+            wr = wr - (jnp.matmul(c1r, br, precision=P)
+                       - jnp.matmul(c1i, bi, precision=P))
+            wi = wi - (jnp.matmul(c1r, bi, precision=P)
+                       + jnp.matmul(c1i, br, precision=P))
+            c2r, c2i = proj(wr, wi)
+            wr = wr - (jnp.matmul(c2r, br, precision=P)
+                       - jnp.matmul(c2i, bi, precision=P))
+            wi = wi - (jnp.matmul(c2r, bi, precision=P)
+                       + jnp.matmul(c2i, br, precision=P))
+            beta = jnp.sqrt(jnp.sum(wr ** 2 + wi ** 2))
+            denom = jnp.maximum(beta, 1e-300)
+            br = br.at[j + 1].set(wr / denom)
+            bi = bi.at[j + 1].set(wi / denom)
+            return br, bi, (c1r + c2r)[: ncv1 - 1], \
+                (c1i + c2i)[: ncv1 - 1], beta
+
+        def skip_step(args):
+            br, bi, j = args
+            z = jnp.zeros(ncv1 - 1)
+            return br, bi, z, z, jnp.asarray(0.0)
+
+        def step(carry, j):
+            br, bi = carry
+            br, bi, cr, ci, beta = jax.lax.cond(
+                j >= k, do_step, skip_step, (br, bi, j))
+            return (br, bi), (cr, ci, beta)
+
+        (br, bi), (crs, cis, betas) = jax.lax.scan(
+            step, (br, bi), jnp.arange(ncv1 - 1))
+        return br, bi, crs, cis, betas
+
+    return expand
 
 
 def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
@@ -210,7 +235,7 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
     br = jnp.zeros((ncv + 1, dim)).at[0].set(jnp.asarray(v0[0]))
     bi = jnp.zeros((ncv + 1, dim)).at[0].set(jnp.asarray(v0[1]))
     t_proj = np.zeros((ncv, ncv), dtype=np.complex128)
-    step = _expand_step_split(matvec_pair)
+    expand = _expand_block_split(matvec_pair, ncv)
 
     @jax.jit
     def restart_basis(br, bi, sr, si):
@@ -226,12 +251,16 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
     k = 0
     nmv = 0
     while True:
+        # one device call expands k -> ncv (latency-critical over a tunnel)
+        br, bi, crs, cis, betas_d = expand(br, bi, k)
+        crs = np.asarray(crs)
+        cis = np.asarray(cis)
+        betas_np = np.asarray(betas_d)
         for j in range(k, ncv):
-            br, bi, (cr, ci), beta = step(br, bi, j)
-            col = np.asarray(cr)[:ncv] + 1j * np.asarray(ci)[:ncv]
+            col = crs[j] + 1j * cis[j]
             t_proj[: j + 1, j] = col[: j + 1]
             t_proj[j, : j + 1] = col[: j + 1].conj()
-            beta_f = float(beta)
+            beta_f = float(betas_np[j])
             if j + 1 < ncv:
                 t_proj[j + 1, j] = beta_f
                 t_proj[j, j + 1] = beta_f
