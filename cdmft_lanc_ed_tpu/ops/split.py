@@ -136,6 +136,13 @@ def make_matvec_split(op: SplitSectorOp):
 # NEVER materialised — only its two small spin factors (the big Dim_up*Dim_dw
 # object stays implicit in the tensor-product form), so memory is
 # O(Dim_s^2) << O(Dim^2).
+#
+# Why XLA matmuls rather than a hand-written Pallas kernel: Mosaic rejects
+# f64 `dot` on the target TPU (probed: UNIMPLEMENTED), so a Pallas kernel
+# would have to re-implement extended-precision matmul from f32 MXU passes —
+# exactly what XLA's emulated-f64 dot already does at ~2 TFLOP/s effective.
+# The measured kernel sits at the matmul roofline (bench.py), i.e. the
+# HBM-side fusion a Pallas rewrite could add is not the bottleneck.
 
 _PREC = jax.lax.Precision.HIGHEST
 

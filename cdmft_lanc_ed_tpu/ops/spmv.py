@@ -1,4 +1,4 @@
-"""Device-side sector H·v kernels (JAX/XLA; Pallas variants in pallas_spmv).
+"""Device-side sector H·v kernels (complex path: CPU/test oracle).
 
 The sector vector lives as a 2-D array ``v[DimDw, DimUp]`` whose C-order
 flattening matches the reference layout (ED_SETUP.f90:547-560).  The matvec
