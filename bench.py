@@ -27,54 +27,52 @@ def main():
     from cdmft_lanc_ed_tpu.ops import split
 
     _, op = ge._plaquette_bath_op(nbath=2, nup=6, ndw=6)
-    # the production kernel: dense factors bucketed to MXU-aligned shapes
+    # the production kernel: dense factors bucketed to MXU-aligned shapes.
+    # The flagship Hubbard sector is REAL symmetric, so the production GS
+    # Lanczos runs the one-plane real kernel (2 MXU matmuls per H·v instead
+    # of the split-complex kernel's 6 — ops/split.py real fast path).
+    assert split.op_is_real(op)
     dd = split._bucket(op.dim_dw)
     du = split._bucket(op.dim_up)
-    dev = split.to_device_dense_split(
+    dev = split.to_device_dense_real(
         op, pad_to=(dd, du) if (dd, du) != (op.dim_dw, op.dim_up) else None)
     nnz = op.nnz
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=2)
-    def chain(vr, vi, steps):
-        def body(c, _):
-            vr, vi = c
-            wr, wi = split.matvec_dense_pair(dev, vr, vi)
-            nrm = jnp.sqrt(jnp.sum(wr ** 2) + jnp.sum(wi ** 2))
-            return (wr / nrm, wi / nrm), None
-        c, _ = jax.lax.scan(body, (vr, vi), None, length=steps)
+    @partial(jax.jit, static_argnums=1)
+    def chain(v, steps):
+        def body(v, _):
+            w = split.matvec_dense_real(dev, v)
+            return w / jnp.linalg.norm(w), None
+        c, _ = jax.lax.scan(body, v, None, length=steps)
         return c
 
     rng = np.random.default_rng(0)
     # zero padding region (decoupled +1e6 modes stay exactly zero)
-    vr0 = np.zeros((dd, du))
-    vi0 = np.zeros((dd, du))
-    vr0[:op.dim_dw, :op.dim_up] = rng.normal(
-        size=(op.dim_dw, op.dim_up)) / np.sqrt(2 * op.dim)
-    vi0[:op.dim_dw, :op.dim_up] = rng.normal(
-        size=(op.dim_dw, op.dim_up)) / np.sqrt(2 * op.dim)
-    vr = jnp.asarray(vr0)
-    vi = jnp.asarray(vi0)
+    v0 = np.zeros((dd, du))
+    v0[:op.dim_dw, :op.dim_up] = rng.normal(
+        size=(op.dim_dw, op.dim_up)) / np.sqrt(op.dim)
+    v = jnp.asarray(v0)
 
     # warmup/compile THE SAME static shape that is timed
     steps = 30
-    out = chain(vr, vi, steps)
+    out = chain(v, steps)
     jax.block_until_ready(out)
 
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        out = chain(vr, vi, steps)
+        out = chain(v, steps)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / reps
     nnz_per_s = nnz * steps / dt
 
     # The kernel is compute-bound: the tensor-product factors are applied as
-    # dense f64 MXU matmuls, 3 per complex product (Karatsuba) = 6 per H·v.
+    # dense f64 MXU matmuls, one per spin side for the real kernel.
     # Roofline = executed f64 FLOP rate vs the ~2 TFLOP/s ceiling of XLA's
     # emulated-f64 matmul on this chip (measured envelope).
-    flops_exec = 6 * 2 * (dd * dd * du + du * du * dd) / 2  # 3 mm per side
+    flops_exec = 2 * (dd * dd * du + du * du * dd)  # 2 real matmuls
     tflops = flops_exec * steps / dt / 1e12
     roof_tflops = 2.0
     print(json.dumps({

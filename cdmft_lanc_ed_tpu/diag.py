@@ -179,23 +179,42 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
             elif spmv.use_split_backend():
                 from .ops import split
                 import jax.numpy as jnp
-                mv_s, dim_p, embed, extract = \
-                    split.make_matvec_pair_padded(op)
                 rng = np.random.default_rng(8527)
-                v0 = embed(rng.normal(size=dim)
-                           + 1j * rng.normal(size=dim))
-                if cfg.ed_precision == "mixed":
-                    mv32, _, _, _ = split.make_matvec_pair_padded(
-                        op, dtype=jnp.float32)
-                    res = lanczos.lanczos_eigh_mixed(
-                        mv32, mv_s, dim_p, neigen=neigen, ncv=nblock,
-                        maxiter=nitermax * nblock,
-                        tol=cfg.lanc_tolerance, v0=v0)
+                real_kit = split.make_matvec_real_padded(op)
+                if real_kit is not None:
+                    # real symmetric H: the whole Krylov iteration stays
+                    # real — 3x fewer MXU passes than the complex kernel
+                    mv_r, dim_p, embed, extract = real_kit
+                    v0 = embed(rng.normal(size=dim))
+                    if cfg.ed_precision == "mixed":
+                        mv32 = split.make_matvec_real_padded(
+                            op, dtype=jnp.float32)[0]
+                        res = lanczos.lanczos_eigh_mixed_real(
+                            mv32, mv_r, dim_p, neigen=neigen, ncv=nblock,
+                            maxiter=nitermax * nblock,
+                            tol=cfg.lanc_tolerance, v0=v0)
+                    else:
+                        res = lanczos.lanczos_eigh_real(
+                            mv_r, dim_p, neigen=neigen, ncv=nblock,
+                            maxiter=nitermax * nblock,
+                            tol=cfg.lanc_tolerance, v0=v0)
                 else:
-                    res = lanczos.lanczos_eigh_split(
-                        mv_s, dim_p, neigen=neigen, ncv=nblock,
-                        maxiter=nitermax * nblock,
-                        tol=cfg.lanc_tolerance, v0=v0)
+                    mv_s, dim_p, embed, extract = \
+                        split.make_matvec_pair_padded(op)
+                    v0 = embed(rng.normal(size=dim)
+                               + 1j * rng.normal(size=dim))
+                    if cfg.ed_precision == "mixed":
+                        mv32, _, _, _ = split.make_matvec_pair_padded(
+                            op, dtype=jnp.float32)
+                        res = lanczos.lanczos_eigh_mixed(
+                            mv32, mv_s, dim_p, neigen=neigen, ncv=nblock,
+                            maxiter=nitermax * nblock,
+                            tol=cfg.lanc_tolerance, v0=v0)
+                    else:
+                        res = lanczos.lanczos_eigh_split(
+                            mv_s, dim_p, neigen=neigen, ncv=nblock,
+                            maxiter=nitermax * nblock,
+                            tol=cfg.lanc_tolerance, v0=v0)
                 res = lanczos.EighResult(
                     res.eigenvalues, extract(res.eigenvectors),
                     res.iterations, res.converged)

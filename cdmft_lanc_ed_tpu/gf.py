@@ -236,13 +236,19 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
     op_cache: Dict[Tuple[int, int], object] = {}
     use_split = spmv.use_split_backend()
 
-    def matvec_for(jnup, jndw):
-        key = (jnup, jndw)
+    def matvec_for(jnup, jndw, want_real=False):
+        """Device kernel kit for the target sector.  ``want_real`` selects
+        the one-plane kernel for real injections on a real H (3x fewer MXU
+        passes); returns None if that sector is not real.  Kits are built
+        lazily and cached per (sector, kind)."""
+        key = (jnup, jndw, bool(want_real) and use_split)
         if key not in op_cache:
             if use_split:
                 from .ops import split as split_mod
-                op_cache[key] = split_mod.make_matvec_pair_padded(
-                    build(jnup, jndw))
+                op = build(jnup, jndw)
+                op_cache[key] = (split_mod.make_matvec_real_padded(op)
+                                 if key[2]
+                                 else split_mod.make_matvec_pair_padded(op))
             else:
                 dev = spmv.to_device(build(jnup, jndw))
                 op_cache[key] = spmv.make_matvec(dev)
@@ -283,10 +289,19 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                 batch = np.stack(vecs)
                 nlanc = min(batch.shape[1], cfg.lanc_ngfiter)
                 if use_split:
-                    mv, dim_p, embed, extract = matvec_for(jnup, jndw)
-                    alphas, betas, norms = \
-                        lanczos.lanczos_tridiag_batched_split(
-                            mv, embed(batch), nlanc)
+                    real_kit = None
+                    if not np.abs(batch.imag).max() > 0.0:
+                        real_kit = matvec_for(jnup, jndw, want_real=True)
+                    if real_kit is not None:
+                        mv_r, dim_p, embed, extract = real_kit
+                        alphas, betas, norms = \
+                            lanczos.lanczos_tridiag_batched_real(
+                                mv_r, embed(batch.real), nlanc)
+                    else:
+                        mv, dim_p, embed, extract = matvec_for(jnup, jndw)
+                        alphas, betas, norms = \
+                            lanczos.lanczos_tridiag_batched_split(
+                                mv, embed(batch), nlanc)
                 else:
                     mv = matvec_for(jnup, jndw)
                     alphas, betas, norms = lanczos.lanczos_tridiag_batched(

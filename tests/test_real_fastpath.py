@@ -1,0 +1,139 @@
+"""Real-Hamiltonian fast path (one-plane MXU kernel + real Lanczos).
+
+Hubbard-type sectors are real symmetric; the real path runs 2 matmuls per
+matvec instead of the split-complex kernel's 6 (ops/split.py).  These tests
+pin it against the complex oracle.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdmft_lanc_ed_tpu import EDConfig
+from cdmft_lanc_ed_tpu.ops import lanczos, sector_ham, split
+
+
+def make_real_op(nup=3, ndw=2, jx=0.2, jp=0.1):
+    """Random REAL symmetric cluster+bath sector operator (incl. Jx/Jp)."""
+    cfg = EDConfig(nlat=1, norb=2, nspin=1, nbath=2,
+                   uloc=[3.0, 2.0, 0, 0, 0], ust=0.5, jh=0.1, jx=jx, jp=jp,
+                   ed_verbose=0)
+    rng = np.random.default_rng(11)
+    nn = (1, 1, 1, 1, 2, 2)
+    h = rng.normal(size=nn).astype(complex)
+    h = 0.5 * (h + h.conj().transpose(1, 0, 3, 2, 5, 4))
+    hrec = (rng.normal(size=(2,) + nn) * 0.4).astype(complex)
+    hrec = 0.5 * (hrec + hrec.conj().transpose(0, 2, 1, 4, 3, 6, 5))
+    dhyb = rng.normal(size=(1, 1, 2, 2))
+    return cfg, sector_ham.build_sector_operator(cfg, h, hrec, dhyb,
+                                                 nup, ndw)
+
+
+def make_complex_op():
+    rng = np.random.default_rng(3)
+    cfg = EDConfig(nlat=1, norb=2, nspin=1, nbath=2,
+                   uloc=[3.0, 2.0, 0, 0, 0], ed_verbose=0)
+    nn = (1, 1, 1, 1, 2, 2)
+    h = rng.normal(size=nn) + 1j * rng.normal(size=nn)
+    h = 0.5 * (h + h.conj().transpose(1, 0, 3, 2, 5, 4))
+    hrec = (rng.normal(size=(2,) + nn) * 0.4).astype(complex)
+    hrec = 0.5 * (hrec + hrec.conj().transpose(0, 2, 1, 4, 3, 6, 5))
+    dhyb = rng.normal(size=(1, 1, 2, 2))
+    return sector_ham.build_sector_operator(cfg, h, hrec, dhyb, 3, 2)
+
+
+def test_realness_detection():
+    _, op = make_real_op()
+    assert split.op_is_real(op)
+    assert split.make_matvec_real_padded(op) is not None
+    opc = make_complex_op()
+    assert not split.op_is_real(opc)
+    assert split.make_matvec_real_padded(opc) is None
+
+
+def test_real_matvec_matches_oracle():
+    _, op = make_real_op(jx=0.3, jp=0.2)
+    assert len(op.nd_terms) > 0
+    mv, dim_p, embed, extract = split.make_matvec_real_padded(op)
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=op.dim)
+    want = op.matvec_np(v.astype(complex))
+    got = extract(np.asarray(mv(jnp.asarray(embed(v)))))
+    np.testing.assert_allclose(got, want.real, atol=1e-12)
+    assert np.abs(want.imag).max() < 1e-14
+
+
+def test_real_pair_kernel_matches_oracle():
+    """Complex vector on a real H via the 4-matmul pair route
+    (make_matvec_pair_padded dispatches to the real kernel)."""
+    _, op = make_real_op()
+    mv, dim_p, embed, extract = split.make_matvec_pair_padded(op)
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim)
+    vp = embed(v)
+    wr, wi = mv(jnp.asarray(vp.real), jnp.asarray(vp.imag))
+    got = extract(np.asarray(wr) + 1j * np.asarray(wi))
+    np.testing.assert_allclose(got, op.matvec_np(v), atol=1e-12)
+
+
+def test_real_lanczos_eigh_matches_dense():
+    _, op = make_real_op()
+    mv, dim_p, embed, extract = split.make_matvec_real_padded(op)
+    rng = np.random.default_rng(0)
+    v0 = embed(rng.normal(size=op.dim))
+    res = lanczos.lanczos_eigh_real(mv, dim_p, neigen=3, ncv=30,
+                                    maxiter=600, tol=1e-13, v0=v0)
+    w = np.linalg.eigvalsh(op.to_dense())
+    np.testing.assert_allclose(res.eigenvalues, w[:3], atol=1e-8)
+    vecs = extract(res.eigenvectors)
+    for i in range(3):
+        hv = op.matvec_np(vecs[i].astype(complex))
+        assert np.linalg.norm(hv - w[i] * vecs[i]) < 1e-6
+
+
+def test_real_batched_tridiag_matches_split():
+    _, op = make_real_op()
+    mv_r, dim_p, embed, extract = split.make_matvec_real_padded(op)
+    mv_s, dim_p2, embed2, _ = split.make_matvec_pair_padded(op)
+    assert dim_p == dim_p2
+    rng = np.random.default_rng(5)
+    batch = rng.normal(size=(4, op.dim))
+    a1, b1, n1 = lanczos.lanczos_tridiag_batched_real(
+        mv_r, embed(batch), 20)
+    a2, b2, n2 = lanczos.lanczos_tridiag_batched_split(
+        mv_s, embed2(batch.astype(complex)), 20)
+    np.testing.assert_allclose(a1, a2, atol=1e-9)
+    np.testing.assert_allclose(b1, b2, atol=1e-9)
+    np.testing.assert_allclose(n1, n2, atol=1e-12)
+
+
+def test_mixed_precision_real_eigensolver():
+    _, op = make_real_op()
+    mv32 = split.make_matvec_real_padded(op, dtype=jnp.float32)[0]
+    mv64, dim_p, embed, extract = split.make_matvec_real_padded(op)
+    rng = np.random.default_rng(0)
+    v0 = embed(rng.normal(size=op.dim))
+    res = lanczos.lanczos_eigh_mixed_real(mv32, mv64, dim_p, neigen=3,
+                                          ncv=30, maxiter=600, tol=1e-12,
+                                          v0=v0)
+    w = np.linalg.eigvalsh(op.to_dense())
+    np.testing.assert_allclose(res.eigenvalues, w[:3], atol=5e-9)
+
+
+def test_full_solver_real_path_gf(tmp_path, monkeypatch):
+    """End-to-end plaquette solve on the split backend: diag + GF now route
+    through the real kernels (same golden energy as the complex path)."""
+    monkeypatch.setenv("CDMFT_SPLIT_BACKEND", "1")
+    from cdmft_lanc_ed_tpu import EDSolver
+    h = np.zeros((4, 4, 1, 1, 1, 1), dtype=complex)
+    for (i, j) in [(0, 1), (0, 2), (1, 3), (2, 3)]:
+        h[i, j, 0, 0, 0, 0] = h[j, i, 0, 0, 0, 0] = -1.0
+    cfg = EDConfig(nlat=4, norb=1, nspin=1, nbath=0, uloc=[4.0], lmats=16,
+                   lreal=16, lanc_ngfiter=48, ed_verbose=0,
+                   ed_gf_symmetric=True,    # real injections -> real GF path
+                   lanc_dim_threshold=8, work_dir=str(tmp_path))
+    s = EDSolver(cfg)
+    s.init_solver()
+    s.solve(np.zeros(0), h)
+    assert s.egs == pytest.approx(-6.102748483462073, abs=1e-7)
+    g = s.gf.gmats[0, 0, 0, 0, 0, 0]
+    assert np.all(g.imag < 0)
