@@ -68,3 +68,20 @@ def test_bhz_band_inversion():
             assert gap == pytest.approx(gapw, abs=0.05)
         else:
             assert gap > 0.1
+
+
+def test_sg77_hermitian_and_local_part():
+    """sg77: every H(k) Hermitian; the k-average over the full BZ grid
+    reduces to the cluster-local part (all inter-cell phases average out)."""
+    from cdmft_lanc_ed_tpu.models import sg77
+    from cdmft_lanc_ed_tpu.utils.reshape import nnn2lso
+    ts = 1.0
+    hk, hloc = sg77.sg77_cluster_hk(2, 6, ts)
+    assert hk.shape == (6 ** 3, 8, 8)
+    for h in hk[:10]:
+        np.testing.assert_allclose(h, h.conj().T, atol=1e-12)
+    np.testing.assert_allclose(hk.mean(axis=0), nnn2lso(hloc, 2, 2, 2),
+                               atol=1e-12)
+    # spin blocks identical (model is spin-diagonal and spin-symmetric)
+    np.testing.assert_allclose(hk[:, :4, :4], hk[:, 4:, 4:], atol=1e-14)
+    np.testing.assert_allclose(hk[:, :4, 4:], 0, atol=1e-14)
