@@ -118,6 +118,29 @@ def bhz_chain_hk(nx: int, ny: int, nk: int, mh: float, ts: float,
     return np.stack(hks), hloc
 
 
+def bhz_alternated_hk(nk: int, mh: float, ts: float, lam: float
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Alternated (checkerboard) tiling of the 2-site BHZ cluster
+    (cdn_bhz_2d_alternated.f90:210-230): the (Nx=2, Ny=1) cluster tiles
+    the square lattice on the 45-degree-rotated superlattice with period
+    sqrt(2), so BOTH inter-cluster x and y bonds connect site 0 <-> 1 with
+    Bloch phases e^{i k.(s2,s2)}, e^{i kx s2}, e^{i ky s2} (s2=sqrt 2)."""
+    hloc = bhz_cluster_hloc(2, 1, mh, ts, lam)
+    s2 = np.sqrt(2.0)
+    kgrid = build_kgrid(nk, 2) / s2    # BZ of the sqrt(2)-period lattice
+    hks = []
+    for kx, ky in kgrid:
+        h = np.array(hloc)
+        for s in range(2):
+            fwd = (t_x(ts, lam, s) * np.exp(-1j * (kx + ky) * s2)
+                   + t_y(ts, lam).T * np.exp(-1j * kx * s2)
+                   + t_y(ts, lam) * np.exp(-1j * ky * s2))
+            h[1, 0, s, s] += fwd
+            h[0, 1, s, s] += fwd.conj().T
+        hks.append(nnn2lso(h, 2, 2, 2))
+    return np.stack(hks), hloc
+
+
 def bhz_bath_basis(nx: int, ny: int, mh: float, ts: float, lam: float
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """(basis [3, ...nnn...], lambda0 [3]) — the reference's symmetry basis

@@ -11,9 +11,13 @@ Implemented as one batched einsum over (frequency, site-pair) instead of
 the reference's serial loops; the per-frequency matrix inversions are
 batched `jnp.linalg` calls.
 
-Schemes (cdn_bhz_postprocessing.f90:354-568):
+Schemes (cdn_bhz_postprocessing.f90:354-568;
+cdn_ssh_postprocessing.f90:210-306):
   * G-scheme     : periodize G, then Sigma_per = G0_per^{-1} - G_per^{-1}
   * Sigma-scheme : periodize Sigma directly, then G from it
+  * M-scheme     : periodize the cumulant M = [(z+mu)I - Sigma]^{-1},
+                   then Sigma_per = (z+mu)I - M_per^{-1} (supports partial
+                   periodization onto an nsub-site unit cell)
 """
 from __future__ import annotations
 
@@ -101,3 +105,49 @@ def periodize_sigma_scheme(cfg: EDConfig, kpoint, coords: np.ndarray,
     g_so = jnp.linalg.inv(a)
     g_per = so2nn(np.moveaxis(np.asarray(g_so), 0, -1), nspin, norb)
     return g_per, np.asarray(s_per)
+
+
+def periodize_m_scheme(cfg: EDConfig, kpoint, cell_pos: np.ndarray,
+                       site_sub: np.ndarray, nsub: int,
+                       s_nnn: np.ndarray, z: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Cumulant (M-scheme) periodization onto an ``nsub``-site unit cell.
+
+    The cluster cumulant M(z) = [(z+mu)I - Sigma(z)]^{-1} is Fourier-summed
+    over unit-cell positions, keeping the within-cell (sublattice)
+    structure:
+
+        M_per[s1,s2](k,z) = 1/Ncell sum_{ij} e^{-i k.(R_i-R_j)} M_ij(z)
+
+    with R_i the CELL position of cluster site i (``cell_pos[i]``) and
+    s_i = ``site_sub[i]`` its sublattice index.  Returns
+    (M_per, Sigma_per) as [nsub*Nspin*Norb, ..., L] lso arrays with
+    Sigma_per = (z+mu)I - M_per^{-1}
+    (periodize_sigma_Mscheme_real, cdn_ssh_postprocessing.f90:210-259;
+    the intra/inter-cluster hoppings drop out of the cumulant, which the
+    reference implements by zeroing vhop/whop around the G build).
+    """
+    nlat, nspin, norb = cfg.nlat, cfg.nspin, cfg.norb
+    nlso = cfg.nlso
+    s_lso = jnp.asarray(np.moveaxis(nnn2lso(s_nnn, nlat, nspin, norb),
+                                    -1, 0))
+    eye = jnp.eye(nlso, dtype=jnp.complex128)
+    m = jnp.linalg.inv((jnp.asarray(z)[:, None, None] + cfg.xmu) * eye
+                       - s_lso)                        # [L, nlso, nlso]
+    m6 = lso2nnn(jnp.moveaxis(m, 0, -1), nlat, nspin, norb)
+    cell_pos = np.asarray(cell_pos, float).reshape(nlat, -1)
+    kr = cell_pos @ np.asarray(kpoint, float)[: cell_pos.shape[1]]
+    ncell = nlat / nsub
+    ph = np.exp(-1j * (kr[:, None] - kr[None, :])) / ncell
+    u = np.zeros((nlat, nsub))
+    u[np.arange(nlat), np.asarray(site_sub, int)] = 1.0
+    m_per6 = jnp.einsum("ij,is,jt,ijabcdl->stabcdl", jnp.asarray(ph),
+                        jnp.asarray(u), jnp.asarray(u), m6)
+    m_per = jnp.moveaxis(nnn2lso(np.asarray(m_per6), nsub, nspin, norb),
+                         -1, 0)                        # [L, niso, niso]
+    niso = nsub * nspin * norb
+    eye_s = jnp.eye(niso, dtype=jnp.complex128)
+    s_per = (jnp.asarray(z)[:, None, None] + cfg.xmu) * eye_s \
+        - jnp.linalg.inv(m_per)
+    return (np.moveaxis(np.asarray(m_per), 0, -1),
+            np.moveaxis(np.asarray(s_per), 0, -1))

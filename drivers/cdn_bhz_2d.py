@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--mh", type=float, default=1.0)
     ap.add_argument("--lam", type=float, default=0.3)
     ap.add_argument("--wmixing", type=float, default=0.5)
+    ap.add_argument("--adaptive-mix", action="store_true",
+                    help="error-adaptive bath mixing "
+                         "(cdn_bhz_2d_adaptive_mix variant)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -51,6 +54,7 @@ def main():
     bath = solver.init_solver()
 
     res = run_dmft_loop(solver, hk, hloc, bath, wmixing=args.wmixing,
+                        adaptive_mixing=args.adaptive_mix,
                         log=lambda s: print(s, flush=True))
     print(f"converged={res.converged} after {res.iterations} loops "
           f"(err={res.error:.3e})")

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--bands", action="store_true",
                     help="write band structure + Z2 "
                          "(cdn_kanemele_bands variant)")
+    ap.add_argument("--extra-bath-params", action="store_true",
+                    help="add second/third-neighbour bath symmetry elements"
+                         " (cdn_kanemele_extraBathParams variant)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -48,6 +51,21 @@ def main():
     b3 = kanemele_cluster_hloc(0.0, 0.0, 1.0)
     basis = np.stack([b1, b2, b3])
     lam0 = np.array([args.mh, args.ts, args.lam])
+    if args.extra_bath_params:
+        # cdn_kanemele_extraBathParams.f90:118-125 + :311-335: two extra
+        # spin-diagonal elements — second-neighbour (t2) and opposite-site
+        # (t3) hexagon hoppings — at lambda=0 so Hloc is unchanged; the fit
+        # is then free to develop them in the bath.
+        t2_pairs = [(0, 2), (0, 4), (1, 3), (1, 5), (2, 4), (3, 5)]
+        t3_pairs = [(0, 3), (1, 4), (2, 5)]
+        extra = np.zeros((2, 6, 6, 2, 2, 1, 1), np.complex128)
+        for k, pairs in enumerate((t2_pairs, t3_pairs)):
+            for (i, j) in pairs:
+                for s in range(2):
+                    extra[k, i, j, s, s, 0, 0] = 1.0
+                    extra[k, j, i, s, s, 0, 0] = 1.0
+        basis = np.concatenate([basis, extra])
+        lam0 = np.concatenate([lam0, [0.0, 0.0]])
     solver.set_hbath(basis, np.tile(lam0, (cfg.nbath, 1)))
     bath = solver.init_solver()
 

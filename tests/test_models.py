@@ -85,3 +85,15 @@ def test_sg77_hermitian_and_local_part():
     # spin blocks identical (model is spin-diagonal and spin-symmetric)
     np.testing.assert_allclose(hk[:, :4, :4], hk[:, 4:, 4:], atol=1e-14)
     np.testing.assert_allclose(hk[:, :4, 4:], 0, atol=1e-14)
+
+
+def test_bhz_alternated_hermitian_and_local():
+    """Alternated (checkerboard) BHZ tiling: Hermitian H(k); k-average over
+    the sqrt(2)-superlattice BZ = cluster-local part."""
+    hk, hloc = bhz.bhz_alternated_hk(12, 1.0, 0.25, 0.3)
+    from cdmft_lanc_ed_tpu.utils.reshape import nnn2lso
+    assert hk.shape == (144, 8, 8)
+    for h in hk[:8]:
+        np.testing.assert_allclose(h, h.conj().T, atol=1e-12)
+    np.testing.assert_allclose(hk.mean(axis=0), nnn2lso(hloc, 2, 2, 2),
+                               atol=1e-12)

@@ -76,3 +76,27 @@ def test_custom_observable_total_density(tmp_path):
     vals = co.compute()
     # spin multiplicity 2 (nspin=1): total N over both spins = 4.0
     assert vals["ntot"] == pytest.approx(4.0, abs=0.02)
+
+
+def test_m_scheme_anchors():
+    """Cumulant (M-scheme) periodization: Sigma=0 -> M_per=(z+mu)^-1 I and
+    Sigma_per=0; site-constant diagonal Sigma is reproduced exactly."""
+    from cdmft_lanc_ed_tpu import EDConfig
+    from cdmft_lanc_ed_tpu.periodize import periodize_m_scheme
+    cfg = EDConfig(nlat=4, norb=1, nspin=1, xmu=0.3)
+    z = 1j * np.linspace(0.1, 2, 5)
+    cell = np.repeat(np.arange(2.0), 2)
+    sub = np.tile([0, 1], 2)
+    s = np.zeros((4, 4, 1, 1, 1, 1, 5), complex)
+    m, sp = periodize_m_scheme(cfg, [0.7], cell, sub, 2, s, z)
+    for i in range(5):
+        np.testing.assert_allclose(m[..., i], np.eye(2) / (z[i] + 0.3),
+                                   atol=1e-13)
+    np.testing.assert_allclose(sp, 0, atol=1e-12)
+    s2 = np.zeros_like(s)
+    for il in range(4):
+        s2[il, il, 0, 0, 0, 0, :] = 0.8 - 0.2j
+    _, sp2 = periodize_m_scheme(cfg, [1.1], cell, sub, 2, s2, z)
+    for i in range(5):
+        np.testing.assert_allclose(sp2[..., i], (0.8 - 0.2j) * np.eye(2),
+                                   atol=1e-12)
