@@ -97,3 +97,22 @@ def test_bhz_alternated_hermitian_and_local():
         np.testing.assert_allclose(h, h.conj().T, atol=1e-12)
     np.testing.assert_allclose(hk.mean(axis=0), nnn2lso(hloc, 2, 2, 2),
                                atol=1e-12)
+
+
+def test_edge_hk_periodized_matches_chain_builder():
+    """The postprocessing ribbon Hamiltonian (layer-major ordering) is
+    unitarily equivalent to bhz_chain_hk(nx=1, ny=Ly): identical spectra
+    at every kx."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "drivers"))
+    from cdn_bhz_postprocessing_edge import edge_hk_periodized
+    ly, mh, ts, lam = 3, 1.0, 0.25, 0.3
+    nk = 6
+    hk_chain, _ = bhz.bhz_chain_hk(1, ly, nk, mh, ts, lam)
+    for ik, k in enumerate(2 * np.pi * np.arange(nk) / nk):
+        h_edge = edge_hk_periodized(k, ly, mh, ts, lam)
+        np.testing.assert_allclose(h_edge, h_edge.conj().T, atol=1e-13)
+        np.testing.assert_allclose(np.linalg.eigvalsh(h_edge),
+                                   np.linalg.eigvalsh(hk_chain[ik]),
+                                   atol=1e-12)
