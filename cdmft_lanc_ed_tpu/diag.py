@@ -171,11 +171,20 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
             if mesh is not None and "dw" in mesh.shape and \
                     dim >= 64 * cfg.lanc_dim_threshold:
                 # large sector: shard the vector along dw over the mesh
-                from .parallel.sharded_spmv import sharded_matvec_pair_flat
-                mv_s = sharded_matvec_pair_flat(op, mesh)
-                res = lanczos.lanczos_eigh_split(
-                    mv_s, dim, neigen=neigen, ncv=nblock,
-                    maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
+                from .parallel.sharded_spmv import (
+                    sharded_matvec_pair_flat, sharded_matvec_real_flat)
+                mv_r = sharded_matvec_real_flat(op, mesh)
+                if mv_r is not None:
+                    # real H: one-plane sharded kernel (3x fewer MXU
+                    # passes, half the all-to-all payload)
+                    res = lanczos.lanczos_eigh_real(
+                        mv_r, dim, neigen=neigen, ncv=nblock,
+                        maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
+                else:
+                    mv_s = sharded_matvec_pair_flat(op, mesh)
+                    res = lanczos.lanczos_eigh_split(
+                        mv_s, dim, neigen=neigen, ncv=nblock,
+                        maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
             elif spmv.use_split_backend():
                 from .ops import split
                 import jax.numpy as jnp
