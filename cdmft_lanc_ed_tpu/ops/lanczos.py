@@ -204,12 +204,13 @@ def _expand_block_real(matvec_real, ncv: int):
             c2 = jnp.where(mask, jnp.matmul(b, w, precision=P), 0.0)
             w = w - jnp.matmul(c2, b, precision=P)
             beta = jnp.linalg.norm(w)
-            b = b.at[j + 1].set(w / jnp.maximum(beta, 1e-300))
+            b = b.at[j + 1].set(w / jnp.maximum(beta, 1e-30))
             return b, (c1 + c2)[: ncv1 - 1], beta
 
         def skip_step(args):
             b, j = args
-            return b, jnp.zeros(ncv1 - 1), jnp.asarray(0.0)
+            return b, jnp.zeros(ncv1 - 1, b.dtype), \
+                jnp.asarray(0.0, b.dtype)
 
         def step(carry, j):
             b, = carry
@@ -225,15 +226,19 @@ def _expand_block_real(matvec_real, ncv: int):
 def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
                       maxiter: int = 512, tol: float = 1e-14,
                       v0: Optional[np.ndarray] = None,
-                      seed: int = 8527) -> EighResult:
+                      seed: int = 8527, dtype=jnp.float64) -> EighResult:
     """Thick-restart Lanczos for a REAL symmetric operator with a real
     start vector: the whole Krylov iteration stays real (eigenvectors of a
     real symmetric H can always be chosen real), halving memory and
     running 3x fewer MXU passes than the split-complex path.  Returned
-    eigenvectors are real f64 host arrays [neigen, dim]."""
+    eigenvectors are real f64 host arrays [neigen, dim].
+
+    ``dtype=jnp.float32`` runs the ENTIRE device iteration (basis, matvec,
+    CGS2) in f32 — required for the mixed-precision scheme; leaving the
+    basis f64 would silently promote the f32 matvec back to f64."""
     neigen = min(neigen, dim)
     ncv = int(min(max(ncv, neigen + 2), dim))
-    eps = float(np.finfo(np.float64).eps)
+    eps = float(np.finfo(np.dtype(dtype).name).eps)
     tol = max(tol, eps)
 
     rng = np.random.default_rng(seed)
@@ -242,7 +247,8 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
     v0 = np.real(np.asarray(v0))
     v0 = v0 / np.linalg.norm(v0)
 
-    basis = jnp.zeros((ncv + 1, dim)).at[0].set(jnp.asarray(v0))
+    basis = jnp.zeros((ncv + 1, dim), dtype).at[0].set(
+        jnp.asarray(v0, dtype))
     t_proj = np.zeros((ncv, ncv))
     expand = _expand_block_real(matvec_real, ncv)
 
@@ -278,7 +284,7 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
                               bool(conv.all()))
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
-        sj = jnp.asarray(np.ascontiguousarray(s[:, :k]))
+        sj = jnp.asarray(np.ascontiguousarray(s[:, :k]), dtype)
         nb = restart_basis(basis, sj)
         basis = jnp.zeros_like(basis).at[:k].set(nb).at[k].set(basis[ncv])
         t_proj[:] = 0.0
@@ -313,7 +319,8 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     :func:`lanczos_eigh_mixed`)."""
     f32_tol = max(tol, 2e-6)
     res32 = lanczos_eigh_real(matvec_real32, dim, neigen=neigen, ncv=ncv,
-                              maxiter=maxiter, tol=f32_tol, v0=v0, seed=seed)
+                              maxiter=maxiter, tol=f32_tol, v0=v0,
+                              seed=seed, dtype=jnp.float32)
     theta, vecs, resid = rayleigh_refine_real(matvec_real64,
                                               res32.eigenvectors, neigen)
     nmv = res32.iterations + len(res32.eigenvectors)
@@ -366,7 +373,7 @@ def _expand_block_split(matvec_pair, ncv: int):
             wi = wi - (jnp.matmul(c2r, bi, precision=P)
                        + jnp.matmul(c2i, br, precision=P))
             beta = jnp.sqrt(jnp.sum(wr ** 2 + wi ** 2))
-            denom = jnp.maximum(beta, 1e-300)
+            denom = jnp.maximum(beta, 1e-30)
             br = br.at[j + 1].set(wr / denom)
             bi = bi.at[j + 1].set(wi / denom)
             return br, bi, (c1r + c2r)[: ncv1 - 1], \
@@ -374,8 +381,8 @@ def _expand_block_split(matvec_pair, ncv: int):
 
         def skip_step(args):
             br, bi, j = args
-            z = jnp.zeros(ncv1 - 1)
-            return br, bi, z, z, jnp.asarray(0.0)
+            z = jnp.zeros(ncv1 - 1, br.dtype)
+            return br, bi, z, z, jnp.asarray(0.0, br.dtype)
 
         def step(carry, j):
             br, bi = carry
@@ -393,13 +400,17 @@ def _expand_block_split(matvec_pair, ncv: int):
 def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
                        maxiter: int = 512, tol: float = 1e-14,
                        v0: Optional[np.ndarray] = None,
-                       seed: int = 8527) -> EighResult:
+                       seed: int = 8527, dtype=jnp.float64) -> EighResult:
     """Thick-restart Lanczos on the split-pair representation (TPU path).
     Same semantics as :func:`lanczos_eigh`; eigenvectors are returned as a
-    host complex array [neigen, dim]."""
+    host complex array [neigen, dim].
+
+    ``dtype=jnp.float32`` keeps the whole device iteration (basis planes,
+    matvec, CGS2) in f32 for the mixed-precision scheme — an f64 basis
+    would silently promote the f32 matvec results back to f64."""
     neigen = min(neigen, dim)
     ncv = int(min(max(ncv, neigen + 2), dim))
-    eps = float(np.finfo(np.float64).eps)
+    eps = float(np.finfo(np.dtype(dtype).name).eps)
     tol = max(tol, eps)
 
     rng = np.random.default_rng(seed)
@@ -409,8 +420,10 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
         v0 = np.stack([np.real(v0), np.imag(v0)])
     v0 = v0 / np.linalg.norm(v0)
 
-    br = jnp.zeros((ncv + 1, dim)).at[0].set(jnp.asarray(v0[0]))
-    bi = jnp.zeros((ncv + 1, dim)).at[0].set(jnp.asarray(v0[1]))
+    br = jnp.zeros((ncv + 1, dim), dtype).at[0].set(
+        jnp.asarray(v0[0], dtype))
+    bi = jnp.zeros((ncv + 1, dim), dtype).at[0].set(
+        jnp.asarray(v0[1], dtype))
     t_proj = np.zeros((ncv, ncv), dtype=np.complex128)
     expand = _expand_block_split(matvec_pair, ncv)
 
@@ -458,8 +471,8 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
                               bool(conv.all()))
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
-        sr = jnp.asarray(np.ascontiguousarray(s[:, :k].real))
-        si = jnp.asarray(np.ascontiguousarray(s[:, :k].imag))
+        sr = jnp.asarray(np.ascontiguousarray(s[:, :k].real), dtype)
+        si = jnp.asarray(np.ascontiguousarray(s[:, :k].imag), dtype)
         nr, ni = restart_basis(br, bi, sr, si)
         br = jnp.zeros_like(br).at[:k].set(nr).at[k].set(br[ncv])
         bi = jnp.zeros_like(bi).at[:k].set(ni).at[k].set(bi[ncv])
@@ -610,7 +623,7 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
     f32_tol = max(tol, 2e-6)
     res32 = lanczos_eigh_split(matvec_pair32, dim, neigen=neigen, ncv=ncv,
                                maxiter=maxiter, tol=f32_tol, v0=v0,
-                               seed=seed)
+                               seed=seed, dtype=jnp.float32)
     theta, vecs, resid = rayleigh_refine(matvec_pair64,
                                          res32.eigenvectors, neigen)
     nmv = res32.iterations + len(res32.eigenvectors)
