@@ -66,11 +66,18 @@ class GFChannel:
 
 class GFSpectrum:
     """impGmatrix equivalent: per component (ilat,jlat,ispin,iorb,jorb) a
-    list over states of lists of channels."""
+    list over states of lists of channels.
+
+    ``symmetric`` records which off-diagonal scheme built this spectrum
+    (2-channel symmetric vs 4-channel); None means "use the config flag".
+    It is persisted so a spectrum built with the auto-detected symmetric
+    scheme recombines correctly in later evaluations (gf_cluster,
+    custom observables)."""
 
     def __init__(self):
         self.data: Dict[Tuple[int, int, int, int, int],
                         List[List[GFChannel]]] = {}
+        self.symmetric: bool | None = None
 
     def add_channel(self, key, istate: int, chan: GFChannel):
         comp = self.data.setdefault(key, [])
@@ -222,15 +229,24 @@ SectorBuilder = Callable[[int, int], sector_ham.SectorOperator]
 
 
 def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
-                    log=lambda s: None) -> Tuple[GFSpectrum, float]:
+                    log=lambda s: None,
+                    force_symmetric: bool = False
+                    ) -> Tuple[GFSpectrum, float]:
     """Fill the pole/weight spectrum for all (site,orb,spin) components
-    (build_gf_normal, ED_GF_NORMAL.f90:38-104)."""
+    (build_gf_normal, ED_GF_NORMAL.f90:38-104).
+
+    ``force_symmetric`` selects the 2-channel scheme regardless of
+    ``cfg.ed_gf_symmetric`` — used when the problem is detected real
+    (real H, real eigenvectors ⇒ G_ij = G_ji exactly), where the
+    4-channel mixed injections are redundant work: half the injections
+    AND every injection real (one-plane kernel)."""
     ns, nimp, norb = cfg.ns, cfg.nimp, cfg.norb
     spec = GFSpectrum()
     egs = state.state_list.emin
     zeta = state.zeta_function
     max_exc = -np.inf
-    chan4 = not cfg.ed_gf_symmetric
+    chan4 = not (cfg.ed_gf_symmetric or force_symmetric)
+    spec.symmetric = not chan4
 
     # device operator cache per target sector within this build
     op_cache: Dict[Tuple[int, int], object] = {}
@@ -329,7 +345,9 @@ def evaluate_gf_nnn(spec: GFSpectrum, cfg: EDConfig,
     nlat, nspin, norb = cfg.nlat, cfg.nspin, cfg.norb
     out = np.zeros((nlat, nlat, nspin, nspin, norb, norb, len(z)),
                    np.complex128)
-    fac = 1.0 - (0.0 if cfg.ed_gf_symmetric else 1j)
+    sym = spec.symmetric if getattr(spec, "symmetric", None) is not None \
+        else cfg.ed_gf_symmetric
+    fac = 1.0 - (0.0 if sym else 1j)
     for ispin in range(nspin):
         for ilat in range(nlat):
             for iorb in range(norb):
@@ -359,7 +377,25 @@ def build_gf_and_sigma(cfg: EDConfig, hb: BathBasis, bath: DmftBath,
     wr = realaxis_grid(cfg)
     zmats = 1j * wm
     zreal = wr + 1j * cfg.eps
-    spec, max_exc = build_gf_normal(cfg, state, build, log)
+
+    # Real problem ⇒ G_ij = G_ji exactly: the 4-channel scheme is
+    # redundant, so auto-select the 2-channel symmetric path (half the
+    # injections, all real → one-plane MXU kernel).  Requires real H
+    # (Hloc + bath basis; V, U, Jx/Jp are real by construction) and real
+    # retained eigenvectors.
+    force_sym = False
+    if not cfg.ed_gf_symmetric:
+        real_h = (np.abs(np.asarray(imp_hloc).imag).max(initial=0) == 0
+                  and np.abs(np.asarray(hb.basis).imag).max(initial=0) == 0)
+        if real_h:
+            force_sym = all(
+                np.abs(np.asarray(st.get_vector(cfg.ns)).imag)
+                .max(initial=0) == 0 for st in state.state_list)
+        if force_sym:
+            log("gf: real problem detected -> symmetric 2-channel scheme")
+
+    spec, max_exc = build_gf_normal(cfg, state, build, log,
+                                    force_symmetric=force_sym)
     gmats = evaluate_gf_nnn(spec, cfg, zmats)
     greal = evaluate_gf_nnn(spec, cfg, zreal)
 

@@ -234,6 +234,8 @@ def print_reduced_dm(cfg: EDConfig, rdm: np.ndarray,
 def save_gfmatrix(cfg: EDConfig, spec: GFSpectrum, path: str) -> None:
     """Plain-text serialization of the pole/weight spectrum."""
     with open(path, "w") as fh:
+        if getattr(spec, "symmetric", None) is not None:
+            fh.write(f"# symmetric {int(spec.symmetric)}\n")
         for key, states in sorted(spec.data.items()):
             for istate, chans in enumerate(states):
                 for ichan, ch in enumerate(chans):
@@ -250,6 +252,9 @@ def read_gfmatrix(path: str) -> GFSpectrum:
     raw = {}
     with open(path) as fh:
         for line in fh:
+            if line.startswith("# symmetric"):
+                spec.symmetric = bool(int(line.split()[-1]))
+                continue
             t = line.split()
             if len(t) != 10:
                 continue

@@ -137,3 +137,42 @@ def test_full_solver_real_path_gf(tmp_path, monkeypatch):
     assert s.egs == pytest.approx(-6.102748483462073, abs=1e-7)
     g = s.gf.gmats[0, 0, 0, 0, 0, 0]
     assert np.all(g.imag < 0)
+
+
+def test_auto_symmetric_matches_chan4(tmp_path, monkeypatch):
+    """Real problem: the auto-selected 2-channel scheme must reproduce the
+    4-channel off-diagonal GF exactly (G_ij = G_ji for real H).  Forcing
+    complex arithmetic (complex-noise-free but flagged) runs chan4."""
+    monkeypatch.setenv("CDMFT_SPLIT_BACKEND", "0")
+    from cdmft_lanc_ed_tpu import EDSolver
+    import cdmft_lanc_ed_tpu.gf as gfmod
+    h = np.zeros((2, 2, 1, 1, 1, 1), dtype=complex)
+    h[0, 1, 0, 0, 0, 0] = h[1, 0, 0, 0, 0, 0] = -1.0
+    cfg = EDConfig(nlat=2, norb=1, nspin=1, nbath=2, uloc=[2.5], lmats=16,
+                   lreal=8, lanc_ngfiter=40, ed_verbose=0,
+                   work_dir=str(tmp_path))
+    basis = np.zeros((1, 2, 2, 1, 1, 1, 1), np.complex128)
+    basis[0, 0, 0], basis[0, 1, 1] = 1.0, 1.0
+
+    def run(force_chan4):
+        s = EDSolver(cfg)
+        s.set_hbath(basis, np.array([[0.4], [-0.4]]))
+        b = s.init_solver()
+        if force_chan4:
+            # disable the auto-detection by faking a complex eigenvector
+            orig = gfmod.build_gf_normal
+
+            def wrapped(cfg_, state_, build_, log=lambda s: None,
+                        force_symmetric=False):
+                return orig(cfg_, state_, build_, log,
+                            force_symmetric=False)
+            monkeypatch.setattr(gfmod, "build_gf_normal", wrapped)
+        s.solve(b, h)
+        if force_chan4:
+            monkeypatch.setattr(gfmod, "build_gf_normal", orig)
+        return s.gf.gmats.copy(), s.gf.smats.copy()
+
+    g4, s4 = run(True)
+    g2, s2 = run(False)
+    np.testing.assert_allclose(g2, g4, atol=1e-8)
+    np.testing.assert_allclose(s2, s4, atol=1e-6)
