@@ -31,36 +31,37 @@ def main():
     from jax.sharding import Mesh
     import __graft_entry__ as ge
     from cdmft_lanc_ed_tpu.parallel.sharded_spmv import \
-        sharded_matvec_pair_flat
-    from cdmft_lanc_ed_tpu.ops.split import make_matvec_pair
+        sharded_matvec_real_flat
+    from cdmft_lanc_ed_tpu.ops.split import make_matvec_real_padded
 
     _, op = ge._plaquette_bath_op(nbath=args.nbath, nup=args.nup,
                                   ndw=args.ndw)
     devices = jax.devices()
     sizes = [n for n in (1, 2, 4, 8, 16) if n <= len(devices)]
     rng = np.random.default_rng(0)
-    vr = jnp.asarray(rng.normal(size=op.dim))
-    vi = jnp.asarray(rng.normal(size=op.dim))
+    # production path for the (real) flagship: one-plane real kernel
     t1 = None
     for n in sizes:
         if n == 1:
-            mv = make_matvec_pair(op)
+            mv_p, dim_p, embed, _ = make_matvec_real_padded(op)
+            mv = mv_p
+            v = jnp.asarray(embed(rng.normal(size=op.dim)))
         else:
             mesh = Mesh(np.asarray(devices[:n]), ("dw",))
-            mv = sharded_matvec_pair_flat(op, mesh)
+            mv = sharded_matvec_real_flat(op, mesh)
+            v = jnp.asarray(rng.normal(size=op.dim))
 
         @jax.jit
-        def step(vr, vi):
-            wr, wi = mv(vr, vi)
-            nrm = jnp.sqrt(jnp.sum(wr ** 2) + jnp.sum(wi ** 2))
-            return wr / nrm, wi / nrm
+        def step(v):
+            w = mv(v)
+            return w / jnp.linalg.norm(w)
 
-        wr, wi = step(vr, vi)
-        jax.block_until_ready(wi)
+        w = step(v)
+        jax.block_until_ready(w)
         t0 = time.time()
         for _ in range(args.steps):
-            wr, wi = step(wr, wi)
-        jax.block_until_ready(wi)
+            w = step(w)
+        jax.block_until_ready(w)
         dt = (time.time() - t0) / args.steps * 1e3
         if t1 is None:
             t1 = dt
