@@ -134,26 +134,17 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
     verbose = log if log is not None else (lambda s: None)
 
     state.state_list.free()
-    oldzero = 1000.0
+    oldzero = [1000.0]
     state.load_sectors_restart(os.path.join(
         cfg.work_dir, "sectors_list" + cfg.ed_file_suffix + ".restart"))
     eig_log_path = os.path.join(
         cfg.work_dir, "eigenvalues_list" + cfg.ed_file_suffix + ".ed")
     eig_log = []
 
-    for isector in fock.all_sectors(ns):
-        if not state.sectors_mask[isector - 1]:
-            continue
-        if not state.twin_mask[isector - 1]:
-            continue
+    def sector_plan(isector):
         nup, ndw = fock.get_quantum_numbers(isector, ns)
-        tflag = cfg.ed_twin and (nup != ndw)
         dim = fock.get_sector_dim(isector, ns)
-
         if cfg.lanc_method == "lanczos":
-            # plain Lanczos (sp_lanc_eigh): single eigenpair, moderate
-            # Krylov block per restart (the reference grows the basis up to
-            # Nitermax; our thick restart reuses a 32-vector window)
             neigen, nblock = 1, min(dim, 32)
         else:
             neigen = min(dim, int(state.neigen_sector[isector - 1]))
@@ -162,9 +153,116 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                          + cfg.lanc_ncv_add)
         nitermax = min(dim, cfg.lanc_niter)
         lanc_solve = (neigen != dim) and (dim > cfg.lanc_dim_threshold)
+        return nup, ndw, dim, neigen, nblock, nitermax, lanc_solve
+
+    active = [i for i in fock.all_sectors(ns)
+              if state.sectors_mask[i - 1] and state.twin_mask[i - 1]]
+
+    def retain(eig_values, eig_basis, isector, tflag):
+        """Spectrum retention (finite-T capacity / T=0 degeneracy window,
+        ED_DIAG.f90:229-245)."""
+        if finite_t:
+            for i in range(len(eig_values)):
+                state.state_list.add(float(eig_values[i]), eig_basis[i],
+                                     isector, ns, twin=tflag,
+                                     size=state.lanc_nstates_total)
+            return
+        for i in range(len(eig_values)):
+            enemin = float(eig_values[i])
+            if enemin < oldzero[0] - 10.0 * cfg.gs_threshold:
+                oldzero[0] = enemin
+                state.state_list.free()
+                state.state_list.insert(enemin, eig_basis[i], isector, ns,
+                                        twin=tflag)
+            elif abs(enemin - oldzero[0]) <= cfg.gs_threshold:
+                oldzero[0] = min(oldzero[0], enemin)
+                state.state_list.insert(enemin, eig_basis[i], isector, ns,
+                                        twin=tflag)
+
+    # --- sector-parallel batched dispatch (new capability: the reference
+    # solves sectors strictly serially, ED_DIAG.f90:78).  Same-bucket real
+    # Lanczos sectors run through ONE batched thick-restart stream,
+    # amortising kernel launches / host-device round trips. ---
+    batched_results = {}
+    op_cache = {}
+    if spmv.use_split_backend() and cfg.ed_precision != "mixed":
+        from .ops import split
+        from .parallel import multichip
+        mesh = multichip.get_solver_mesh()
+        groups = {}
+        for isector in active:
+            nup, ndw, dim, neigen, nblock, nitermax, lanc_solve = \
+                sector_plan(isector)
+            if not lanc_solve:
+                continue
+            if mesh is not None and "dw" in mesh.shape and \
+                    dim >= 64 * cfg.lanc_dim_threshold:
+                continue                       # sharded large-sector path
+            op = build(nup, ndw)
+            op_cache[isector] = op
+            if max(op.dim_up, op.dim_dw) > split.DENSE_FACTOR_MAX or \
+                    not split.op_is_real(op):
+                continue
+            key = (split._bucket(op.dim_dw), split._bucket(op.dim_up),
+                   len(op.nd_terms))
+            groups.setdefault(key, []).append(
+                (isector, op, dim, neigen, nblock, nitermax))
+        for (ddp, dup, _t), members in groups.items():
+            if len(members) < 2:
+                continue                       # singletons: serial path
+            ncv_g = max(m[4] for m in members)
+            members = [m for m in members if m[2] > ncv_g]
+            if len(members) < 2:
+                continue
+            dim_p = ddp * dup
+            # chunk so the Krylov bases stay within ~2 GB
+            bmax = max(2, int(2e9 / ((ncv_g + 1) * dim_p * 8)))
+            for lo in range(0, len(members), bmax):
+                chunk = members[lo:lo + bmax]
+                if len(chunk) < 2:
+                    break
+                t0 = time.time()
+                neigen_g = max(m[3] for m in chunk)
+                maxiter_g = max(m[5] for m in chunk) * ncv_g
+                mv_b = split.make_matvec_real_batched(
+                    [m[1] for m in chunk], (ddp, dup))
+                rng = np.random.default_rng(8527)
+                v0 = np.stack([
+                    split.embed_real(rng.normal(size=m[2]), m[1].dim_dw,
+                                     m[1].dim_up, ddp, dup)
+                    for m in chunk])
+                res_list = lanczos.lanczos_eigh_real_batched(
+                    mv_b, len(chunk), dim_p, neigen=neigen_g, ncv=ncv_g,
+                    maxiter=maxiter_g, tol=cfg.lanc_tolerance, v0=v0)
+                for m, res in zip(chunk, res_list):
+                    isector, op, dim, neigen = m[0], m[1], m[2], m[3]
+                    vecs = split.extract_real(
+                        np.asarray(res.eigenvectors)[:neigen],
+                        op.dim_dw, op.dim_up, ddp, dup)
+                    batched_results[isector] = (
+                        np.asarray(res.eigenvalues)[:neigen], vecs)
+                verbose(f"batched {len(chunk)} sectors "
+                        f"(bucket {ddp}x{dup}, ncv={ncv_g}) "
+                        f"[{time.time()-t0:6.2f}s]")
+
+    for isector in active:
+        nup, ndw, dim, neigen, nblock, nitermax, lanc_solve = \
+            sector_plan(isector)
+        tflag = cfg.ed_twin and (nup != ndw)
 
         t0 = time.time()
-        op = build(nup, ndw)
+        if isector in batched_results:
+            eig_values, eig_basis = batched_results.pop(isector)
+            op_cache.pop(isector, None)
+            verbose(f"sector {isector:5d} (nup={nup:2d},ndw={ndw:2d}) "
+                    f"dim={dim:8d} lanc(batched) "
+                    f"E0={eig_values[0]: .10f}")
+            eig_log.append((isector, nup, ndw, eig_values[:neigen]))
+            retain(eig_values, eig_basis, isector, tflag)
+            continue
+        op = op_cache.pop(isector, None)
+        if op is None:
+            op = build(nup, ndw)
         if lanc_solve:
             from .parallel import multichip
             mesh = multichip.get_solver_mesh()
@@ -244,26 +342,7 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                 f" {'lanc' if lanc_solve else 'eigh'}"
                 f" E0={eig_values[0]: .10f} [{time.time()-t0:6.2f}s]")
         eig_log.append((isector, nup, ndw, eig_values[:neigen]))
-
-        if finite_t:
-            for i in range(len(eig_values)):
-                state.state_list.add(float(eig_values[i]), eig_basis[i],
-                                     isector, ns, twin=tflag,
-                                     size=state.lanc_nstates_total)
-        else:
-            # T=0: retain only (quasi-)degenerate ground states
-            # (ED_DIAG.f90:229-245)
-            for i in range(len(eig_values)):
-                enemin = float(eig_values[i])
-                if enemin < oldzero - 10.0 * cfg.gs_threshold:
-                    oldzero = enemin
-                    state.state_list.free()
-                    state.state_list.insert(enemin, eig_basis[i], isector, ns,
-                                            twin=tflag)
-                elif abs(enemin - oldzero) <= cfg.gs_threshold:
-                    oldzero = min(oldzero, enemin)
-                    state.state_list.insert(enemin, eig_basis[i], isector, ns,
-                                            twin=tflag)
+        retain(eig_values, eig_basis, isector, tflag)
 
     # eigenvalues_list.ed (ED_DIAG.f90:247-252)
     try:

@@ -294,6 +294,119 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
         t_proj[:k, k] = b_row
 
 
+def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
+                              neigen: int, ncv: int, maxiter: int = 512,
+                              tol: float = 1e-14,
+                              v0: Optional[np.ndarray] = None,
+                              seed: int = 8527):
+    """Batched thick-restart Lanczos: ``nbatch`` independent REAL symmetric
+    operators (one batched matvec [B, dim] -> [B, dim]) solved in ONE
+    device stream with a SHARED restart schedule.
+
+    This is the sector-parallel dispatch the reference lacks
+    (ED_DIAG.f90:78 solves sectors strictly serially): B same-bucket
+    sectors amortise every kernel launch / host-device round trip — the
+    dominant cost for small sectors on a remote TPU.  Each batch member
+    converges independently; the sweep stops when ALL have (extra
+    iterations on already-converged members are masked-cost device work).
+
+    Returns a list of ``nbatch`` :class:`EighResult`.
+    """
+    b = nbatch
+    neigen = min(neigen, dim)
+    ncv = int(min(max(ncv, neigen + 2), dim))
+    eps = float(np.finfo(np.float64).eps)
+    tol = max(tol, eps)
+
+    rng = np.random.default_rng(seed)
+    if v0 is None:
+        v0 = rng.normal(size=(b, dim))
+    v0 = np.real(np.asarray(v0))
+    v0 = v0 / np.linalg.norm(v0, axis=1, keepdims=True)
+
+    basis = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(jnp.asarray(v0))
+    t_proj = np.zeros((b, ncv, ncv))
+    # whole-restart expansion over the batch with a SHARED prefix k
+    P = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def expand(bas, k):
+        ncv1 = bas.shape[1]
+
+        def do_step(args):
+            bb, j = args
+            w = matvec_batched(bb[:, j])                    # [B, dim]
+            mask = (jnp.arange(ncv1) <= j)
+            c1 = jnp.where(mask[None], jnp.einsum(
+                "bnd,bd->bn", bb, w, precision=P), 0.0)
+            w = w - jnp.einsum("bn,bnd->bd", c1, bb, precision=P)
+            c2 = jnp.where(mask[None], jnp.einsum(
+                "bnd,bd->bn", bb, w, precision=P), 0.0)
+            w = w - jnp.einsum("bn,bnd->bd", c2, bb, precision=P)
+            beta = jnp.linalg.norm(w, axis=1)               # [B]
+            bb = bb.at[:, j + 1].set(
+                w / jnp.maximum(beta, 1e-30)[:, None])
+            return bb, (c1 + c2)[:, : ncv1 - 1], beta
+
+        def skip_step(args):
+            bb, j = args
+            return bb, jnp.zeros((b, ncv1 - 1)), jnp.zeros(b)
+
+        def step(carry, j):
+            bb, = carry
+            bb, c, beta = jax.lax.cond(j >= k, do_step, skip_step, (bb, j))
+            return (bb,), (c, beta)
+
+        (bas,), (cs, betas) = jax.lax.scan(step, (bas,),
+                                           jnp.arange(ncv1 - 1))
+        return bas, cs, betas        # cs [ncv, B, ncv], betas [ncv, B]
+
+    @jax.jit
+    def restart_basis(bas, s):
+        # s [B, ncv, k]: new rows = s^T @ basis rows, per batch member
+        return jnp.einsum("bnk,bnd->bkd", s, bas[:, :ncv], precision=P)
+
+    k = 0
+    nmv = 0
+    while True:
+        basis, cs, betas_d = expand(basis, k)
+        cs = np.asarray(cs)                   # [ncv, B, ncv]
+        betas_np = np.asarray(betas_d)        # [ncv, B]
+        for j in range(k, ncv):
+            t_proj[:, : j + 1, j] = cs[j][:, : j + 1]
+            t_proj[:, j, : j + 1] = cs[j][:, : j + 1]
+            if j + 1 < ncv:
+                t_proj[:, j + 1, j] = betas_np[j]
+                t_proj[:, j, j + 1] = betas_np[j]
+            nmv += 1
+        last_beta = betas_np[ncv - 1]         # [B]
+
+        theta, s = np.linalg.eigh(t_proj)     # [B, ncv], [B, ncv, ncv]
+        resid = np.abs(last_beta[:, None] * s[:, -1, :])   # [B, ncv]
+        conv = np.all(
+            resid[:, :neigen]
+            <= tol * np.maximum(np.abs(theta[:, :neigen]), 1.0), axis=1)
+        if bool(conv.all()) or nmv >= maxiter or ncv >= dim:
+            sj = jnp.asarray(np.ascontiguousarray(s[:, :, :neigen]))
+            vecs = np.asarray(restart_basis(basis, sj))    # [B, ne, dim]
+            nrm = np.linalg.norm(vecs, axis=2, keepdims=True)
+            vecs = vecs / np.maximum(nrm, 1e-300)
+            return [EighResult(theta[i, :neigen].copy(), vecs[i], nmv,
+                               bool(conv[i])) for i in range(b)]
+
+        k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+        sj = jnp.asarray(np.ascontiguousarray(s[:, :, :k]))
+        nb = restart_basis(basis, sj)                      # [B, k, dim]
+        basis = jnp.zeros_like(basis).at[:, :k].set(nb) \
+            .at[:, k].set(basis[:, ncv])
+        t_proj[:] = 0.0
+        idx = np.arange(k)
+        t_proj[:, idx, idx] = theta[:, :k]
+        b_row = last_beta[:, None] * s[:, -1, :k]          # [B, k]
+        t_proj[:, k, :k] = b_row
+        t_proj[:, :k, k] = b_row
+
+
 def rayleigh_refine_real(matvec_real64, vecs: np.ndarray, neigen: int):
     """Real-plane variant of :func:`rayleigh_refine` (real symmetric H,
     real approximate eigenbasis)."""

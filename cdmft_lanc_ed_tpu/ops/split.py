@@ -395,6 +395,48 @@ def matvec_dense_real_pair(op: DenseRealOp, xr: jax.Array, xi: jax.Array):
     return matvec_dense_real(op, xr), matvec_dense_real(op, xi)
 
 
+def make_matvec_real_batched(ops, pad: tuple, dtype=jnp.float64):
+    """Batched real matvec over B same-bucket sectors: mv(x[B, dim_p]) ->
+    [B, dim_p] (sector-parallel dispatch — the reference's serial sector
+    loop ED_DIAG.f90:78 collapsed into one device stream).  All operators
+    must be real and share the padded bucket ``pad=(ddp, dup)`` and the
+    Jx/Jp term count."""
+    ddp, dup = pad
+    devs = [to_device_dense_real(
+        op, pad_to=None if (op.dim_dw, op.dim_up) == (ddp, dup) else pad,
+        dtype=dtype) for op in ops]
+    fields = ("diag", "hdw", "hupT", "nd_amp", "nd_upT", "nd_dw")
+    batched = DenseRealOp(**{
+        f: jnp.stack([getattr(d, f) for d in devs]) for f in fields})
+
+    def one(dev, x):
+        return matvec_dense_real(dev, x.reshape(ddp, dup)).reshape(-1)
+
+    mv1 = jax.vmap(one)
+
+    def mv(x):
+        return mv1(batched, x)
+
+    return mv
+
+
+def embed_real(v: np.ndarray, dd: int, du: int, ddp: int, dup: int
+               ) -> np.ndarray:
+    """Real host array [*, dd*du] -> padded [*, ddp*dup] (zeros in the
+    decoupled padding modes)."""
+    v = np.asarray(v)
+    out = np.zeros(v.shape[:-1] + (ddp, dup), v.dtype)
+    out[..., :dd, :du] = v.reshape(v.shape[:-1] + (dd, du))
+    return out.reshape(v.shape[:-1] + (ddp * dup,))
+
+
+def extract_real(v: np.ndarray, dd: int, du: int, ddp: int, dup: int
+                 ) -> np.ndarray:
+    v = np.asarray(v)
+    return v.reshape(v.shape[:-1] + (ddp, dup))[..., :dd, :du] \
+        .reshape(v.shape[:-1] + (dd * du,))
+
+
 def make_matvec_real_padded(op: SectorOperator, dtype=jnp.float64):
     """Bucketed-shape REAL matvec on the padded flat dim, or None when the
     sector Hamiltonian has imaginary parts (or needs the gather fallback).
