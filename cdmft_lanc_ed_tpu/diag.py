@@ -184,7 +184,6 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
     # Lanczos sectors run through ONE batched thick-restart stream,
     # amortising kernel launches / host-device round trips. ---
     batched_results = {}
-    op_cache = {}
     if spmv.use_split_backend() and cfg.ed_precision != "mixed":
         from .ops import split
         from .parallel import multichip
@@ -199,10 +198,9 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                     dim >= 64 * cfg.lanc_dim_threshold:
                 continue                       # sharded large-sector path
             op = build(nup, ndw)
-            op_cache[isector] = op
             if max(op.dim_up, op.dim_dw) > split.DENSE_FACTOR_MAX or \
                     not split.op_is_real(op):
-                continue
+                continue                       # serial path rebuilds it
             key = (split._bucket(op.dim_dw), split._bucket(op.dim_up),
                    len(op.nd_terms))
             groups.setdefault(key, []).append(
@@ -253,16 +251,13 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
         t0 = time.time()
         if isector in batched_results:
             eig_values, eig_basis = batched_results.pop(isector)
-            op_cache.pop(isector, None)
             verbose(f"sector {isector:5d} (nup={nup:2d},ndw={ndw:2d}) "
                     f"dim={dim:8d} lanc(batched) "
                     f"E0={eig_values[0]: .10f}")
             eig_log.append((isector, nup, ndw, eig_values[:neigen]))
             retain(eig_values, eig_basis, isector, tflag)
             continue
-        op = op_cache.pop(isector, None)
-        if op is None:
-            op = build(nup, ndw)
+        op = build(nup, ndw)
         if lanc_solve:
             from .parallel import multichip
             mesh = multichip.get_solver_mesh()
