@@ -198,14 +198,13 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                     dim >= 64 * cfg.lanc_dim_threshold:
                 continue                       # sharded large-sector path
             op = build(nup, ndw)
-            if max(op.dim_up, op.dim_dw) > split.DENSE_FACTOR_MAX or \
-                    not split.op_is_real(op):
+            if max(op.dim_up, op.dim_dw) > split.DENSE_FACTOR_MAX:
                 continue                       # serial path rebuilds it
             key = (split._bucket(op.dim_dw), split._bucket(op.dim_up),
-                   len(op.nd_terms))
+                   len(op.nd_terms), split.op_is_real(op))
             groups.setdefault(key, []).append(
                 (isector, op, dim, neigen, nblock, nitermax))
-        for (ddp, dup, _t), members in groups.items():
+        for (ddp, dup, _t, is_real), members in groups.items():
             if len(members) < 2:
                 continue                       # singletons: serial path
             ncv_g = max(m[4] for m in members)
@@ -214,7 +213,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                 continue
             dim_p = ddp * dup
             # chunk so the Krylov bases stay within ~2 GB
-            bmax = max(2, int(2e9 / ((ncv_g + 1) * dim_p * 8)))
+            planes = 1 if is_real else 2
+            bmax = max(2, int(2e9 / ((ncv_g + 1) * dim_p * 8 * planes)))
             for lo in range(0, len(members), bmax):
                 chunk = members[lo:lo + bmax]
                 if len(chunk) < 2:
@@ -222,16 +222,32 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                 t0 = time.time()
                 neigen_g = max(m[3] for m in chunk)
                 maxiter_g = max(m[5] for m in chunk) * ncv_g
-                mv_b = split.make_matvec_real_batched(
-                    [m[1] for m in chunk], (ddp, dup))
                 rng = np.random.default_rng(8527)
-                v0 = np.stack([
-                    split.embed_real(rng.normal(size=m[2]), m[1].dim_dw,
-                                     m[1].dim_up, ddp, dup)
-                    for m in chunk])
-                res_list = lanczos.lanczos_eigh_real_batched(
-                    mv_b, len(chunk), dim_p, neigen=neigen_g, ncv=ncv_g,
-                    maxiter=maxiter_g, tol=cfg.lanc_tolerance, v0=v0)
+                if is_real:
+                    mv_b = split.make_matvec_real_batched(
+                        [m[1] for m in chunk], (ddp, dup))
+                    v0 = np.stack([
+                        split.embed_real(rng.normal(size=m[2]),
+                                         m[1].dim_dw, m[1].dim_up, ddp,
+                                         dup)
+                        for m in chunk])
+                    res_list = lanczos.lanczos_eigh_real_batched(
+                        mv_b, len(chunk), dim_p, neigen=neigen_g,
+                        ncv=ncv_g, maxiter=maxiter_g,
+                        tol=cfg.lanc_tolerance, v0=v0)
+                else:
+                    mv_b = split.make_matvec_pair_batched(
+                        [m[1] for m in chunk], (ddp, dup))
+                    v0 = np.stack([
+                        split.embed_real(
+                            rng.normal(size=m[2])
+                            + 1j * rng.normal(size=m[2]),
+                            m[1].dim_dw, m[1].dim_up, ddp, dup)
+                        for m in chunk])
+                    res_list = lanczos.lanczos_eigh_split_batched(
+                        mv_b, len(chunk), dim_p, neigen=neigen_g,
+                        ncv=ncv_g, maxiter=maxiter_g,
+                        tol=cfg.lanc_tolerance, v0=v0)
                 for m, res in zip(chunk, res_list):
                     isector, op, dim, neigen = m[0], m[1], m[2], m[3]
                     vecs = split.extract_real(
@@ -239,7 +255,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         op.dim_dw, op.dim_up, ddp, dup)
                     batched_results[isector] = (
                         np.asarray(res.eigenvalues)[:neigen], vecs)
-                verbose(f"batched {len(chunk)} sectors "
+                verbose(f"batched {len(chunk)} "
+                        f"{'real' if is_real else 'complex'} sectors "
                         f"(bucket {ddp}x{dup}, ncv={ncv_g}) "
                         f"[{time.time()-t0:6.2f}s]")
 

@@ -407,6 +407,144 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
         t_proj[:, :k, k] = b_row
 
 
+def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
+                               neigen: int, ncv: int, maxiter: int = 512,
+                               tol: float = 1e-14,
+                               v0: Optional[np.ndarray] = None,
+                               seed: int = 8527):
+    """Batched thick-restart Lanczos on the split-pair representation:
+    the complex-sector twin of :func:`lanczos_eigh_real_batched`
+    (``matvec_pair_batched`` maps (xr, xi) [B, dim] pairs).  ``v0`` is a
+    complex host array [B, dim] (padded — zeros in decoupled padding).
+    Returns a list of ``nbatch`` :class:`EighResult` with complex
+    eigenvector rows."""
+    b = nbatch
+    neigen = min(neigen, dim)
+    ncv = int(min(max(ncv, neigen + 2), dim))
+    eps = float(np.finfo(np.float64).eps)
+    tol = max(tol, eps)
+
+    rng = np.random.default_rng(seed)
+    if v0 is None:
+        v0 = rng.normal(size=(b, dim)) + 1j * rng.normal(size=(b, dim))
+    v0 = np.asarray(v0, np.complex128)
+    v0 = v0 / np.linalg.norm(v0, axis=1, keepdims=True)
+
+    br = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(
+        jnp.asarray(np.ascontiguousarray(v0.real)))
+    bi = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(
+        jnp.asarray(np.ascontiguousarray(v0.imag)))
+    t_proj = np.zeros((b, ncv, ncv), np.complex128)
+    P = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def expand(br, bi, k):
+        ncv1 = br.shape[1]
+
+        def do_step(args):
+            br, bi, j = args
+            wr, wi = matvec_pair_batched(br[:, j], bi[:, j])
+            mask = (jnp.arange(ncv1) <= j)[None]
+
+            def proj(wr, wi):
+                cr = jnp.where(mask, jnp.einsum(
+                    "bnd,bd->bn", br, wr, precision=P) + jnp.einsum(
+                    "bnd,bd->bn", bi, wi, precision=P), 0.0)
+                ci = jnp.where(mask, jnp.einsum(
+                    "bnd,bd->bn", br, wi, precision=P) - jnp.einsum(
+                    "bnd,bd->bn", bi, wr, precision=P), 0.0)
+                return cr, ci
+
+            c1r, c1i = proj(wr, wi)
+            wr = wr - (jnp.einsum("bn,bnd->bd", c1r, br, precision=P)
+                       - jnp.einsum("bn,bnd->bd", c1i, bi, precision=P))
+            wi = wi - (jnp.einsum("bn,bnd->bd", c1r, bi, precision=P)
+                       + jnp.einsum("bn,bnd->bd", c1i, br, precision=P))
+            c2r, c2i = proj(wr, wi)
+            wr = wr - (jnp.einsum("bn,bnd->bd", c2r, br, precision=P)
+                       - jnp.einsum("bn,bnd->bd", c2i, bi, precision=P))
+            wi = wi - (jnp.einsum("bn,bnd->bd", c2r, bi, precision=P)
+                       + jnp.einsum("bn,bnd->bd", c2i, br, precision=P))
+            beta = jnp.sqrt(jnp.sum(wr ** 2 + wi ** 2, axis=1))
+            d = jnp.maximum(beta, 1e-30)[:, None]
+            br = br.at[:, j + 1].set(wr / d)
+            bi = bi.at[:, j + 1].set(wi / d)
+            return br, bi, (c1r + c2r)[:, : ncv1 - 1], \
+                (c1i + c2i)[:, : ncv1 - 1], beta
+
+        def skip_step(args):
+            br, bi, j = args
+            z = jnp.zeros((b, ncv1 - 1))
+            return br, bi, z, z, jnp.zeros(b)
+
+        def step(carry, j):
+            br, bi = carry
+            br, bi, cr, ci, beta = jax.lax.cond(
+                j >= k, do_step, skip_step, (br, bi, j))
+            return (br, bi), (cr, ci, beta)
+
+        (br, bi), (crs, cis, betas) = jax.lax.scan(
+            step, (br, bi), jnp.arange(ncv1 - 1))
+        return br, bi, crs, cis, betas
+
+    @jax.jit
+    def restart_basis(br, bi, sr, si):
+        # s [B, ncv, k] complex split: rows_k = sum_n s[n,k] V_n
+        vr, vi = br[:, :ncv], bi[:, :ncv]
+        nr = jnp.einsum("bnk,bnd->bkd", sr, vr, precision=P) \
+            - jnp.einsum("bnk,bnd->bkd", si, vi, precision=P)
+        ni = jnp.einsum("bnk,bnd->bkd", sr, vi, precision=P) \
+            + jnp.einsum("bnk,bnd->bkd", si, vr, precision=P)
+        return nr, ni
+
+    k = 0
+    nmv = 0
+    while True:
+        br, bi, crs, cis, betas_d = expand(br, bi, k)
+        crs = np.asarray(crs)                  # [ncv, B, ncv]
+        cis = np.asarray(cis)
+        betas_np = np.asarray(betas_d)         # [ncv, B]
+        for j in range(k, ncv):
+            col = crs[j] + 1j * cis[j]         # [B, ncv]
+            t_proj[:, : j + 1, j] = col[:, : j + 1]
+            t_proj[:, j, : j + 1] = col[:, : j + 1].conj()
+            if j + 1 < ncv:
+                t_proj[:, j + 1, j] = betas_np[j]
+                t_proj[:, j, j + 1] = betas_np[j]
+            nmv += 1
+        last_beta = betas_np[ncv - 1]          # [B]
+
+        theta, s = np.linalg.eigh(t_proj)      # [B, ncv], [B, ncv, ncv]
+        resid = np.abs(last_beta[:, None] * s[:, -1, :])
+        conv = np.all(
+            resid[:, :neigen]
+            <= tol * np.maximum(np.abs(theta[:, :neigen]), 1.0), axis=1)
+        if bool(conv.all()) or nmv >= maxiter or ncv >= dim:
+            sj = s[:, :, :neigen]
+            sr = jnp.asarray(np.ascontiguousarray(sj.real))
+            si = jnp.asarray(np.ascontiguousarray(sj.imag))
+            nr, ni = restart_basis(br, bi, sr, si)
+            vecs = np.asarray(nr) + 1j * np.asarray(ni)   # [B, ne, dim]
+            nrm = np.linalg.norm(vecs, axis=2, keepdims=True)
+            vecs = vecs / np.maximum(nrm, 1e-300)
+            return [EighResult(theta[i, :neigen].copy(), vecs[i], nmv,
+                               bool(conv[i])) for i in range(b)]
+
+        k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+        sj = s[:, :, :k]
+        sr = jnp.asarray(np.ascontiguousarray(sj.real))
+        si = jnp.asarray(np.ascontiguousarray(sj.imag))
+        nr, ni = restart_basis(br, bi, sr, si)
+        br = jnp.zeros_like(br).at[:, :k].set(nr).at[:, k].set(br[:, ncv])
+        bi = jnp.zeros_like(bi).at[:, :k].set(ni).at[:, k].set(bi[:, ncv])
+        t_proj[:] = 0.0
+        idx = np.arange(k)
+        t_proj[:, idx, idx] = theta[:, :k]
+        b_row = last_beta[:, None] * s[:, -1, :k].conj()
+        t_proj[:, k, :k] = b_row
+        t_proj[:, :k, k] = b_row.conj()
+
+
 def rayleigh_refine_real(matvec_real64, vecs: np.ndarray, neigen: int):
     """Real-plane variant of :func:`rayleigh_refine` (real symmetric H,
     real approximate eigenbasis)."""

@@ -420,6 +420,32 @@ def make_matvec_real_batched(ops, pad: tuple, dtype=jnp.float64):
     return mv
 
 
+def make_matvec_pair_batched(ops, pad: tuple, dtype=jnp.float64):
+    """Batched split-pair matvec over B same-bucket COMPLEX sectors:
+    mv(xr[B, dim_p], xi[B, dim_p]) -> (wr, wi) (sector-parallel dispatch
+    for complex models; twin of :func:`make_matvec_real_batched`)."""
+    ddp, dup = pad
+    devs = [to_device_dense_split(
+        op, pad_to=None if (op.dim_dw, op.dim_up) == (ddp, dup) else pad,
+        dtype=dtype) for op in ops]
+    fields = ("diag", "hdw_r", "hdw_i", "hdw_s", "hupT_r", "hupT_i",
+              "hupT_s", "nd_amp_r", "nd_amp_i", "nd_upT", "nd_dw")
+    batched = DenseSplitOp(**{
+        f: jnp.stack([getattr(d, f) for d in devs]) for f in fields})
+
+    def one(dev, xr, xi):
+        wr, wi = matvec_dense_pair(dev, xr.reshape(ddp, dup),
+                                   xi.reshape(ddp, dup))
+        return wr.reshape(-1), wi.reshape(-1)
+
+    mv1 = jax.vmap(one)
+
+    def mv(xr, xi):
+        return mv1(batched, xr, xi)
+
+    return mv
+
+
 def embed_real(v: np.ndarray, dd: int, du: int, ddp: int, dup: int
                ) -> np.ndarray:
     """Real host array [*, dd*du] -> padded [*, ddp*dup] (zeros in the
