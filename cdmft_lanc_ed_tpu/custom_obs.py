@@ -30,6 +30,7 @@ import numpy as np
 
 from .bath import basis_lso_of, invg0_bath_lso
 from .gf import evaluate_gf_nnn
+from .utils.hostdev import complex_safe
 from .utils.reshape import nnn2lso
 
 jax.config.update("jax_enable_x64", True)
@@ -95,6 +96,7 @@ class CustomObservables:
             out = out - jnp.asarray(tail)
         return np.asarray(out)
 
+    @complex_safe
     def compute(self) -> Dict[str, float]:
         from scipy.integrate import quad
         cfg = self.solver.cfg

@@ -34,6 +34,7 @@ from .bath import BathBasis, DmftBath, basis_lso_of, pack_dmft_bath, \
     unpack_dmft_bath
 from .config import EDConfig
 from .utils.reshape import nnn2lso
+from .utils.hostdev import complex_safe
 
 jax.config.update("jax_enable_x64", True)
 
@@ -95,6 +96,7 @@ def _make_chi2(cfg: EDConfig, basis_lso: jnp.ndarray,
     return jax.jit(jax.value_and_grad(chi2))
 
 
+@complex_safe
 def chi2_fitgf(cfg: EDConfig, hb: BathBasis, fg_nnn: np.ndarray,
                bath_array: np.ndarray,
                hloc_nnn: Optional[np.ndarray] = None,

@@ -98,14 +98,14 @@ class GFSpectrum:
         return np.concatenate(poles), np.concatenate(weights)
 
     def evaluate(self, key, z: np.ndarray) -> np.ndarray:
-        """G(z) = sum_k w_k / (z - p_k) on device (ed_gf_cluster rebuild,
-        ED_IO/gf_cluster.f90:1-88)."""
+        """G(z) = sum_k w_k / (z - p_k) (ed_gf_cluster rebuild,
+        ED_IO/gf_cluster.f90:1-88).  Host numpy: the pole sums are tiny
+        and complex128 is not device-executable on the target TPU."""
         p, w = self.flat(key)
         if len(p) == 0:
             return np.zeros(len(z), np.complex128)
-        zz = jnp.asarray(z)[:, None]
-        return np.asarray(jnp.sum(jnp.asarray(w)[None, :]
-                                  / (zz - jnp.asarray(p)[None, :]), axis=1))
+        zz = np.asarray(z)[:, None]
+        return np.sum(w[None, :] / (zz - p[None, :]), axis=1)
 
     def evaluate_tau(self, key, tau: np.ndarray, beta: float) -> np.ndarray:
         """Imaginary-time G(tau), 0 <= tau <= beta, from the Lehmann poles:
@@ -400,25 +400,29 @@ def build_gf_and_sigma(cfg: EDConfig, hb: BathBasis, bath: DmftBath,
     greal = evaluate_gf_nnn(spec, cfg, zreal)
 
     # ---- Sigma = G0^{-1} - G^{-1} (build_sigma_normal) ----
-    hloc_lso = jnp.asarray(nnn2lso(imp_hloc, nlat, nspin, norb))
-    basis_lso = basis_lso_of(cfg, hb)
-    v = jnp.asarray(bath.v)
-    lam = jnp.asarray(bath.lam)
+    # complex frequency linear algebra runs on a complex-capable device
+    # (host CPU under a TPU session — see utils/hostdev.py)
+    from .utils.hostdev import complex_compute
 
     def to_lso_freq(g):
         # [.,.,.,.,.,.,L] -> [L, Nlso, Nlso]
         return np.moveaxis(nnn2lso(g, nlat, nspin, norb), -1, 0)
 
-    invg0_m = invg0_bath_lso(jnp.asarray(zmats), hloc_lso, cfg.xmu, v, lam,
-                             basis_lso)
-    invg0_r = invg0_bath_lso(jnp.asarray(zreal), hloc_lso, cfg.xmu, v, lam,
-                             basis_lso)
-    invg_m = jnp.linalg.inv(jnp.asarray(to_lso_freq(gmats)))
-    invg_r = jnp.linalg.inv(jnp.asarray(to_lso_freq(greal)))
-    smats_lso = np.asarray(invg0_m - invg_m)
-    sreal_lso = np.asarray(invg0_r - invg_r)
-    g0m_lso = np.asarray(jnp.linalg.inv(invg0_m))
-    g0r_lso = np.asarray(jnp.linalg.inv(invg0_r))
+    with complex_compute():
+        hloc_lso = jnp.asarray(nnn2lso(imp_hloc, nlat, nspin, norb))
+        basis_lso = basis_lso_of(cfg, hb)
+        v = jnp.asarray(bath.v)
+        lam = jnp.asarray(bath.lam)
+        invg0_m = invg0_bath_lso(jnp.asarray(zmats), hloc_lso, cfg.xmu, v,
+                                 lam, basis_lso)
+        invg0_r = invg0_bath_lso(jnp.asarray(zreal), hloc_lso, cfg.xmu, v,
+                                 lam, basis_lso)
+        invg_m = jnp.linalg.inv(jnp.asarray(to_lso_freq(gmats)))
+        invg_r = jnp.linalg.inv(jnp.asarray(to_lso_freq(greal)))
+        smats_lso = np.asarray(invg0_m - invg_m)
+        sreal_lso = np.asarray(invg0_r - invg_r)
+        g0m_lso = np.asarray(jnp.linalg.inv(invg0_m))
+        g0r_lso = np.asarray(jnp.linalg.inv(invg0_r))
 
     def to_nnn(a_lso_freq):
         return lso2nnn(np.moveaxis(a_lso_freq, 0, -1), nlat, nspin, norb)

@@ -29,6 +29,7 @@ import numpy as np
 
 from .config import EDConfig
 from .utils.reshape import lso2nnn, nnn2lso, nn2so, so2nn
+from .utils.hostdev import complex_safe
 
 jax.config.update("jax_enable_x64", True)
 
@@ -49,6 +50,7 @@ def _phases(kpoint: np.ndarray, coords: np.ndarray) -> np.ndarray:
     return np.exp(-1j * (kr[:, None] - kr[None, :])) / len(coords)
 
 
+@complex_safe
 def periodize_g_scheme(cfg: EDConfig, kpoint, coords: np.ndarray,
                        hk_unper: np.ndarray, smats_nnn: np.ndarray,
                        z: np.ndarray) -> np.ndarray:
@@ -69,6 +71,7 @@ def periodize_g_scheme(cfg: EDConfig, kpoint, coords: np.ndarray,
     return np.asarray(g_per)
 
 
+@complex_safe
 def build_sigma_g_scheme(cfg: EDConfig, kpoint, coords: np.ndarray,
                          hk_unper: np.ndarray, hk_per: np.ndarray,
                          smats_nnn: np.ndarray, z: np.ndarray
@@ -87,6 +90,7 @@ def build_sigma_g_scheme(cfg: EDConfig, kpoint, coords: np.ndarray,
     return g_per, s_per
 
 
+@complex_safe
 def periodize_sigma_scheme(cfg: EDConfig, kpoint, coords: np.ndarray,
                            hk_per: np.ndarray, smats_nnn: np.ndarray,
                            z: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -107,6 +111,7 @@ def periodize_sigma_scheme(cfg: EDConfig, kpoint, coords: np.ndarray,
     return g_per, np.asarray(s_per)
 
 
+@complex_safe
 def periodize_m_scheme(cfg: EDConfig, kpoint, cell_pos: np.ndarray,
                        site_sub: np.ndarray, nsub: int,
                        s_nnn: np.ndarray, z: np.ndarray
