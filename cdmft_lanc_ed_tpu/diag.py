@@ -223,8 +223,11 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                 neigen_g = max(m[3] for m in chunk)
                 maxiter_g = max(m[5] for m in chunk) * ncv_g
                 rng = np.random.default_rng(8527)
+                # operator passed as pytree argument: ONE compiled kernel
+                # per (bucket, B, ncv), shared across sector groups and
+                # across DMFT iterations (bath updates)
                 if is_real:
-                    mv_b = split.make_matvec_real_batched(
+                    dev_b = split.stack_real_ops(
                         [m[1] for m in chunk], (ddp, dup))
                     v0 = np.stack([
                         split.embed_real(rng.normal(size=m[2]),
@@ -232,11 +235,11 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                          dup)
                         for m in chunk])
                     res_list = lanczos.lanczos_eigh_real_batched(
-                        mv_b, len(chunk), dim_p, neigen=neigen_g,
-                        ncv=ncv_g, maxiter=maxiter_g,
-                        tol=cfg.lanc_tolerance, v0=v0)
+                        split.apply_real_flat_batched, len(chunk), dim_p,
+                        neigen=neigen_g, ncv=ncv_g, maxiter=maxiter_g,
+                        tol=cfg.lanc_tolerance, v0=v0, op=dev_b)
                 else:
-                    mv_b = split.make_matvec_pair_batched(
+                    dev_b = split.stack_pair_ops(
                         [m[1] for m in chunk], (ddp, dup))
                     v0 = np.stack([
                         split.embed_real(
@@ -245,9 +248,9 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             m[1].dim_dw, m[1].dim_up, ddp, dup)
                         for m in chunk])
                     res_list = lanczos.lanczos_eigh_split_batched(
-                        mv_b, len(chunk), dim_p, neigen=neigen_g,
-                        ncv=ncv_g, maxiter=maxiter_g,
-                        tol=cfg.lanc_tolerance, v0=v0)
+                        split.apply_pair_flat_batched, len(chunk), dim_p,
+                        neigen=neigen_g, ncv=ncv_g, maxiter=maxiter_g,
+                        tol=cfg.lanc_tolerance, v0=v0, op=dev_b)
                 for m, res in zip(chunk, res_list):
                     isector, op, dim, neigen = m[0], m[1], m[2], m[3]
                     vecs = split.extract_real(
@@ -299,41 +302,59 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                 from .ops import split
                 import jax.numpy as jnp
                 rng = np.random.default_rng(8527)
-                real_kit = split.make_matvec_real_padded(op)
+                real_kit = split.build_real_padded(op)
+                pair_kit = None if real_kit is not None \
+                    else split.build_pair_padded(op)
                 if real_kit is not None:
                     # real symmetric H: the whole Krylov iteration stays
-                    # real — 3x fewer MXU passes than the complex kernel
-                    mv_r, dim_p, embed, extract = real_kit
+                    # real — 3x fewer MXU passes than the complex kernel;
+                    # operator passed as argument (kernel shared across
+                    # sectors and bath updates)
+                    dev, dim_p, embed, extract = real_kit
                     v0 = embed(rng.normal(size=dim))
                     if cfg.ed_precision == "mixed":
-                        mv32 = split.make_matvec_real_padded(
+                        dev32 = split.build_real_padded(
                             op, dtype=jnp.float32)[0]
                         res = lanczos.lanczos_eigh_mixed_real(
-                            mv32, mv_r, dim_p, neigen=neigen, ncv=nblock,
+                            split.apply_real_flat, split.apply_real_flat,
+                            dim_p, neigen=neigen, ncv=nblock,
                             maxiter=nitermax * nblock,
-                            tol=cfg.lanc_tolerance, v0=v0)
+                            tol=cfg.lanc_tolerance, v0=v0,
+                            op32=dev32, op64=dev)
                     else:
                         res = lanczos.lanczos_eigh_real(
-                            mv_r, dim_p, neigen=neigen, ncv=nblock,
+                            split.apply_real_flat, dim_p, neigen=neigen,
+                            ncv=nblock, maxiter=nitermax * nblock,
+                            tol=cfg.lanc_tolerance, v0=v0, op=dev)
+                elif pair_kit is not None:
+                    dev, _real, dim_p, embed, extract = pair_kit
+                    v0 = embed(rng.normal(size=dim)
+                               + 1j * rng.normal(size=dim))
+                    if cfg.ed_precision == "mixed":
+                        dev32 = split.build_pair_padded(
+                            op, dtype=jnp.float32)[0]
+                        res = lanczos.lanczos_eigh_mixed(
+                            split.apply_pair_flat, split.apply_pair_flat,
+                            dim_p, neigen=neigen, ncv=nblock,
                             maxiter=nitermax * nblock,
-                            tol=cfg.lanc_tolerance, v0=v0)
+                            tol=cfg.lanc_tolerance, v0=v0,
+                            op32=dev32, op64=dev)
+                    else:
+                        res = lanczos.lanczos_eigh_split(
+                            split.apply_pair_flat, dim_p, neigen=neigen,
+                            ncv=nblock, maxiter=nitermax * nblock,
+                            tol=cfg.lanc_tolerance, v0=v0, op=dev)
                 else:
+                    # factors too large for the dense path: legacy
+                    # closure over the ELL gather kernel
                     mv_s, dim_p, embed, extract = \
                         split.make_matvec_pair_padded(op)
                     v0 = embed(rng.normal(size=dim)
                                + 1j * rng.normal(size=dim))
-                    if cfg.ed_precision == "mixed":
-                        mv32, _, _, _ = split.make_matvec_pair_padded(
-                            op, dtype=jnp.float32)
-                        res = lanczos.lanczos_eigh_mixed(
-                            mv32, mv_s, dim_p, neigen=neigen, ncv=nblock,
-                            maxiter=nitermax * nblock,
-                            tol=cfg.lanc_tolerance, v0=v0)
-                    else:
-                        res = lanczos.lanczos_eigh_split(
-                            mv_s, dim_p, neigen=neigen, ncv=nblock,
-                            maxiter=nitermax * nblock,
-                            tol=cfg.lanc_tolerance, v0=v0)
+                    res = lanczos.lanczos_eigh_split(
+                        mv_s, dim_p, neigen=neigen, ncv=nblock,
+                        maxiter=nitermax * nblock,
+                        tol=cfg.lanc_tolerance, v0=v0)
                 res = lanczos.EighResult(
                     res.eigenvalues, extract(res.eigenvectors),
                     res.iterations, res.converged)

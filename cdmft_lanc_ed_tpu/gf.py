@@ -256,15 +256,18 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
         """Device kernel kit for the target sector.  ``want_real`` selects
         the one-plane kernel for real injections on a real H (3x fewer MXU
         passes); returns None if that sector is not real.  Kits are built
-        lazily and cached per (sector, kind)."""
+        lazily and cached per (sector, kind).  Split kits carry the
+        operator as a pytree (passed as an argument to the jitted
+        tridiagonalisation, so the compiled kernel is shared across
+        sectors and bath updates)."""
         key = (jnup, jndw, bool(want_real) and use_split)
         if key not in op_cache:
             if use_split:
                 from .ops import split as split_mod
                 op = build(jnup, jndw)
-                op_cache[key] = (split_mod.make_matvec_real_padded(op)
+                op_cache[key] = (split_mod.build_real_padded(op)
                                  if key[2]
-                                 else split_mod.make_matvec_pair_padded(op))
+                                 else split_mod.build_pair_padded(op))
             else:
                 dev = spmv.to_device(build(jnup, jndw))
                 op_cache[key] = spmv.make_matvec(dev)
@@ -305,19 +308,33 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                 batch = np.stack(vecs)
                 nlanc = min(batch.shape[1], cfg.lanc_ngfiter)
                 if use_split:
+                    from .ops import split as split_mod
                     real_kit = None
                     if not np.abs(batch.imag).max() > 0.0:
                         real_kit = matvec_for(jnup, jndw, want_real=True)
                     if real_kit is not None:
-                        mv_r, dim_p, embed, extract = real_kit
+                        dev, dim_p, embed, extract = real_kit
                         alphas, betas, norms = \
                             lanczos.lanczos_tridiag_batched_real(
-                                mv_r, embed(batch.real), nlanc)
+                                split_mod.apply_real_flat,
+                                embed(batch.real), nlanc, op=dev)
                     else:
-                        mv, dim_p, embed, extract = matvec_for(jnup, jndw)
-                        alphas, betas, norms = \
-                            lanczos.lanczos_tridiag_batched_split(
-                                mv, embed(batch), nlanc)
+                        pair_kit = matvec_for(jnup, jndw)
+                        if pair_kit is not None:
+                            dev, realf, dim_p, embed, extract = pair_kit
+                            app = (split_mod.apply_realpair_flat if realf
+                                   else split_mod.apply_pair_flat)
+                            alphas, betas, norms = \
+                                lanczos.lanczos_tridiag_batched_split(
+                                    app, embed(batch), nlanc, op=dev)
+                        else:
+                            # factors too large for dense: legacy closure
+                            mv, dim_p, embed, extract = \
+                                split_mod.make_matvec_pair_padded(
+                                    build(jnup, jndw))
+                            alphas, betas, norms = \
+                                lanczos.lanczos_tridiag_batched_split(
+                                    mv, embed(batch), nlanc)
                 else:
                     mv = matvec_for(jnup, jndw)
                     alphas, betas, norms = lanczos.lanczos_tridiag_batched(

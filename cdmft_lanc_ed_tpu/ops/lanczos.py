@@ -18,11 +18,26 @@ Replaces the reference's external P-ARPACK / SciFortran SF_SP_LINALG layer
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+# Operator-as-argument convention: every solver accepts either a legacy
+# closure matvec(x) (operator baked into the jitted HLO as constants —
+# recompiles per sector AND per bath update) or, preferably, a PURE
+# ``apply_fn(op, x)`` plus ``op=`` pytree.  With the pure form the jitted
+# kernels are created once per apply_fn (lru-cached factories below) and
+# XLA caches one executable per shape bucket, reused across sectors and
+# DMFT iterations.
+
+def _as_applier(matvec, op):
+    if op is not None:
+        return matvec, op, True
+    return (lambda _o, *xs: matvec(*xs)), 0, False
 
 
 # ---------------------------------------------------------------------------
@@ -109,23 +124,12 @@ def lanczos_tridiag_batched(matvec, v0: jax.Array, niter: int):
             np.asarray(norms0))
 
 
-def lanczos_tridiag_batched_split(matvec_pair, v0: np.ndarray, niter: int):
-    """Split-representation batched tridiagonalisation (TPU path).
-
-    v0 : complex host array [B, dim]; ``matvec_pair`` maps one (vr, vi)
-    [dim] pair.  Internally everything is pairs of separate f64 arrays
-    (the stacked-plane layout lowers ~3x slower on the target TPU).
-    Returns the same host arrays as :func:`lanczos_tridiag_batched`."""
-    v0 = np.asarray(v0)
-    b = v0.shape[0]
-    norms0 = np.linalg.norm(v0, axis=1)
-    scale = np.where(norms0 > 1e-300, norms0, 1.0)
-    v0r = jnp.asarray(np.ascontiguousarray(v0.real / scale[:, None]))
-    v0i = jnp.asarray(np.ascontiguousarray(v0.imag / scale[:, None]))
-    mv = jax.vmap(matvec_pair)
-
+@functools.lru_cache(maxsize=None)
+def _tridiag_split_run(apply_fn, niter: int):
     @jax.jit
-    def run(v0r, v0i):
+    def run(op, v0r, v0i):
+        mv = jax.vmap(lambda vr, vi: apply_fn(op, vr, vi))
+
         def step(carry, _):
             pr, pi, vr, vi, beta_prev = carry
             wr, wi = mv(vr, vi)
@@ -142,31 +146,40 @@ def lanczos_tridiag_batched_split(matvec_pair, v0: np.ndarray, niter: int):
             return (vr, vi, nr, ni, beta), (alpha, beta)
 
         z = jnp.zeros_like(v0r)
-        carry = (z, z, v0r, v0i, jnp.zeros(b))
+        carry = (z, z, v0r, v0i, jnp.zeros(v0r.shape[0]))
         _, (alphas, betas) = jax.lax.scan(step, carry, None, length=niter)
         return alphas.T, betas.T
 
-    alphas, betas = run(v0r, v0i)
+    return run
+
+
+def lanczos_tridiag_batched_split(matvec_pair, v0: np.ndarray, niter: int,
+                                  op=None):
+    """Split-representation batched tridiagonalisation (TPU path).
+
+    v0 : complex host array [B, dim]; ``matvec_pair`` maps one (vr, vi)
+    [dim] pair (legacy closure form) or is a pure ``apply(op, vr, vi)``
+    with ``op=`` given (kernel shared across sectors/bath updates).
+    Returns the same host arrays as :func:`lanczos_tridiag_batched`."""
+    v0 = np.asarray(v0)
+    norms0 = np.linalg.norm(v0, axis=1)
+    scale = np.where(norms0 > 1e-300, norms0, 1.0)
+    v0r = jnp.asarray(np.ascontiguousarray(v0.real / scale[:, None]))
+    v0i = jnp.asarray(np.ascontiguousarray(v0.imag / scale[:, None]))
+    apply_fn, opd, cached = _as_applier(matvec_pair, op)
+    run = (_tridiag_split_run(apply_fn, niter) if cached
+           else _tridiag_split_run.__wrapped__(apply_fn, niter))
+    alphas, betas = run(opd, v0r, v0i)
     return (np.asarray(alphas), np.asarray(betas)[:, : niter - 1],
             norms0)
 
 
-def lanczos_tridiag_batched_real(matvec_real, v0: np.ndarray, niter: int):
-    """Batched tridiagonalisation for a REAL symmetric operator and REAL
-    start vectors: one f64 plane instead of two (3x fewer MXU passes than
-    the complex kernel; see ops/split.py real fast path).
-
-    v0 : real host array [B, dim]; ``matvec_real`` maps one [dim] plane.
-    Returns the same host arrays as :func:`lanczos_tridiag_batched`."""
-    v0 = np.asarray(v0)
-    b = v0.shape[0]
-    norms0 = np.linalg.norm(v0, axis=1)
-    scale = np.where(norms0 > 1e-300, norms0, 1.0)
-    v0n = jnp.asarray(np.ascontiguousarray(v0 / scale[:, None]))
-    mv = jax.vmap(matvec_real)
-
+@functools.lru_cache(maxsize=None)
+def _tridiag_real_run(apply_fn, niter: int):
     @jax.jit
-    def run(v0n):
+    def run(op, v0n):
+        mv = jax.vmap(lambda v: apply_fn(op, v))
+
         def step(carry, _):
             p, v, beta_prev = carry
             w = mv(v)
@@ -174,30 +187,53 @@ def lanczos_tridiag_batched_real(matvec_real, v0: np.ndarray, niter: int):
             w = w - alpha[:, None] * v - beta_prev[:, None] * p
             beta = jnp.linalg.norm(w, axis=1)
             good = (beta > 1e-200)[:, None]
-            nxt = jnp.where(good, w / jnp.maximum(beta, 1e-300)[:, None], 0.0)
+            nxt = jnp.where(good, w / jnp.maximum(beta, 1e-300)[:, None],
+                            0.0)
             return (v, nxt, beta), (alpha, beta)
 
-        carry = (jnp.zeros_like(v0n), v0n, jnp.zeros(b))
+        carry = (jnp.zeros_like(v0n), v0n, jnp.zeros(v0n.shape[0]))
         _, (alphas, betas) = jax.lax.scan(step, carry, None, length=niter)
         return alphas.T, betas.T
 
-    alphas, betas = run(v0n)
+    return run
+
+
+def lanczos_tridiag_batched_real(matvec_real, v0: np.ndarray, niter: int,
+                                 op=None):
+    """Batched tridiagonalisation for a REAL symmetric operator and REAL
+    start vectors: one f64 plane instead of two (3x fewer MXU passes than
+    the complex kernel; see ops/split.py real fast path).
+
+    v0 : real host array [B, dim].  ``matvec_real`` maps one [dim] plane
+    (legacy closure form), or — preferred — is a pure ``apply(op, x)``
+    with the operator passed via ``op=`` (kernel compiled once per shape
+    bucket, shared across sectors/bath updates).
+    Returns the same host arrays as :func:`lanczos_tridiag_batched`."""
+    v0 = np.asarray(v0)
+    norms0 = np.linalg.norm(v0, axis=1)
+    scale = np.where(norms0 > 1e-300, norms0, 1.0)
+    v0n = jnp.asarray(np.ascontiguousarray(v0 / scale[:, None]))
+    apply_fn, opd, cached = _as_applier(matvec_real, op)
+    run = (_tridiag_real_run(apply_fn, niter) if cached
+           else _tridiag_real_run.__wrapped__(apply_fn, niter))
+    alphas, betas = run(opd, v0n)
     return (np.asarray(alphas), np.asarray(betas)[:, : niter - 1], norms0)
 
 
-def _expand_block_real(matvec_real, ncv: int):
+@functools.lru_cache(maxsize=None)
+def _expand_block_real(apply_fn):
     """Whole-restart CGS2 Lanczos expansion, REAL plane (see
-    :func:`_expand_block_split`).  Returns projection columns [ncv, ncv]
-    and betas [ncv]."""
+    :func:`_expand_block_split`); ``apply_fn(op, x)`` pure.  Returns
+    projection columns [ncv, ncv] and betas [ncv]."""
     P = jax.lax.Precision.HIGHEST
 
     @jax.jit
-    def expand(b, k):
+    def expand(op, b, k):
         ncv1 = b.shape[0]
 
         def do_step(args):
             b, j = args
-            w = matvec_real(b[j])
+            w = apply_fn(op, b[j])
             mask = (jnp.arange(ncv1) <= j)
             c1 = jnp.where(mask, jnp.matmul(b, w, precision=P), 0.0)
             w = w - jnp.matmul(c1, b, precision=P)
@@ -223,10 +259,28 @@ def _expand_block_real(matvec_real, ncv: int):
     return expand
 
 
+
+@jax.jit
+def _restart_real(b, s):
+    ncv = s.shape[0]
+    return jnp.matmul(s.T, b[:ncv], precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _restart_split(br, bi, sr, si):
+    P = jax.lax.Precision.HIGHEST
+    ncv = sr.shape[0]
+    vr, vi = br[:ncv], bi[:ncv]
+    nr = jnp.matmul(sr.T, vr, precision=P) - jnp.matmul(si.T, vi, precision=P)
+    ni = jnp.matmul(sr.T, vi, precision=P) + jnp.matmul(si.T, vr, precision=P)
+    return nr, ni
+
+
 def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
                       maxiter: int = 512, tol: float = 1e-14,
                       v0: Optional[np.ndarray] = None,
-                      seed: int = 8527, dtype=jnp.float64) -> EighResult:
+                      seed: int = 8527, dtype=jnp.float64,
+                      op=None) -> EighResult:
     """Thick-restart Lanczos for a REAL symmetric operator with a real
     start vector: the whole Krylov iteration stays real (eigenvectors of a
     real symmetric H can always be chosen real), halving memory and
@@ -250,16 +304,15 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
     basis = jnp.zeros((ncv + 1, dim), dtype).at[0].set(
         jnp.asarray(v0, dtype))
     t_proj = np.zeros((ncv, ncv))
-    expand = _expand_block_real(matvec_real, ncv)
-
-    @jax.jit
-    def restart_basis(b, s):
-        return jnp.matmul(s.T, b[:ncv], precision=jax.lax.Precision.HIGHEST)
+    apply_fn, opd, cached = _as_applier(matvec_real, op)
+    expand = (_expand_block_real(apply_fn) if cached
+              else _expand_block_real.__wrapped__(apply_fn))
+    restart_basis = _restart_real
 
     k = 0
     nmv = 0
     while True:
-        basis, cs, betas_d = expand(basis, k)
+        basis, cs, betas_d = expand(opd, basis, k)
         cs = np.asarray(cs)
         betas_np = np.asarray(betas_d)
         for j in range(k, ncv):
@@ -294,11 +347,60 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
         t_proj[:k, k] = b_row
 
 
+@functools.lru_cache(maxsize=None)
+def _expand_real_batched(apply_fn):
+    P = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def expand(op, bas, k):
+        ncv1 = bas.shape[1]
+        nb = bas.shape[0]
+
+        def do_step(args):
+            bb, j = args
+            w = apply_fn(op, bb[:, j])                      # [B, dim]
+            mask = (jnp.arange(ncv1) <= j)
+            c1 = jnp.where(mask[None], jnp.einsum(
+                "bnd,bd->bn", bb, w, precision=P), 0.0)
+            w = w - jnp.einsum("bn,bnd->bd", c1, bb, precision=P)
+            c2 = jnp.where(mask[None], jnp.einsum(
+                "bnd,bd->bn", bb, w, precision=P), 0.0)
+            w = w - jnp.einsum("bn,bnd->bd", c2, bb, precision=P)
+            beta = jnp.linalg.norm(w, axis=1)               # [B]
+            bb = bb.at[:, j + 1].set(
+                w / jnp.maximum(beta, 1e-30)[:, None])
+            return bb, (c1 + c2)[:, : ncv1 - 1], beta
+
+        def skip_step(args):
+            bb, j = args
+            return bb, jnp.zeros((nb, ncv1 - 1)), jnp.zeros(nb)
+
+        def step(carry, j):
+            bb, = carry
+            bb, c, beta = jax.lax.cond(j >= k, do_step, skip_step,
+                                       (bb, j))
+            return (bb,), (c, beta)
+
+        (bas,), (cs, betas) = jax.lax.scan(step, (bas,),
+                                           jnp.arange(ncv1 - 1))
+        return bas, cs, betas        # cs [ncv, B, ncv], betas [ncv, B]
+
+    return expand
+
+
+@jax.jit
+def _restart_basis_batched(bas, s):
+    # s [B, ncv, k]: new rows = s^T @ basis rows, per batch member
+    ncv = s.shape[1]
+    return jnp.einsum("bnk,bnd->bkd", s, bas[:, :ncv],
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
                               neigen: int, ncv: int, maxiter: int = 512,
                               tol: float = 1e-14,
                               v0: Optional[np.ndarray] = None,
-                              seed: int = 8527):
+                              seed: int = 8527, op=None):
     """Batched thick-restart Lanczos: ``nbatch`` independent REAL symmetric
     operators (one batched matvec [B, dim] -> [B, dim]) solved in ONE
     device stream with a SHARED restart schedule.
@@ -326,50 +428,15 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
 
     basis = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(jnp.asarray(v0))
     t_proj = np.zeros((b, ncv, ncv))
-    # whole-restart expansion over the batch with a SHARED prefix k
-    P = jax.lax.Precision.HIGHEST
-
-    @jax.jit
-    def expand(bas, k):
-        ncv1 = bas.shape[1]
-
-        def do_step(args):
-            bb, j = args
-            w = matvec_batched(bb[:, j])                    # [B, dim]
-            mask = (jnp.arange(ncv1) <= j)
-            c1 = jnp.where(mask[None], jnp.einsum(
-                "bnd,bd->bn", bb, w, precision=P), 0.0)
-            w = w - jnp.einsum("bn,bnd->bd", c1, bb, precision=P)
-            c2 = jnp.where(mask[None], jnp.einsum(
-                "bnd,bd->bn", bb, w, precision=P), 0.0)
-            w = w - jnp.einsum("bn,bnd->bd", c2, bb, precision=P)
-            beta = jnp.linalg.norm(w, axis=1)               # [B]
-            bb = bb.at[:, j + 1].set(
-                w / jnp.maximum(beta, 1e-30)[:, None])
-            return bb, (c1 + c2)[:, : ncv1 - 1], beta
-
-        def skip_step(args):
-            bb, j = args
-            return bb, jnp.zeros((b, ncv1 - 1)), jnp.zeros(b)
-
-        def step(carry, j):
-            bb, = carry
-            bb, c, beta = jax.lax.cond(j >= k, do_step, skip_step, (bb, j))
-            return (bb,), (c, beta)
-
-        (bas,), (cs, betas) = jax.lax.scan(step, (bas,),
-                                           jnp.arange(ncv1 - 1))
-        return bas, cs, betas        # cs [ncv, B, ncv], betas [ncv, B]
-
-    @jax.jit
-    def restart_basis(bas, s):
-        # s [B, ncv, k]: new rows = s^T @ basis rows, per batch member
-        return jnp.einsum("bnk,bnd->bkd", s, bas[:, :ncv], precision=P)
+    apply_fn, opd, cached = _as_applier(matvec_batched, op)
+    expand = (_expand_real_batched(apply_fn) if cached
+              else _expand_real_batched.__wrapped__(apply_fn))
+    restart_basis = _restart_basis_batched
 
     k = 0
     nmv = 0
     while True:
-        basis, cs, betas_d = expand(basis, k)
+        basis, cs, betas_d = expand(opd, basis, k)
         cs = np.asarray(cs)                   # [ncv, B, ncv]
         betas_np = np.asarray(betas_d)        # [ncv, B]
         for j in range(k, ncv):
@@ -407,43 +474,18 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
         t_proj[:, :k, k] = b_row
 
 
-def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
-                               neigen: int, ncv: int, maxiter: int = 512,
-                               tol: float = 1e-14,
-                               v0: Optional[np.ndarray] = None,
-                               seed: int = 8527):
-    """Batched thick-restart Lanczos on the split-pair representation:
-    the complex-sector twin of :func:`lanczos_eigh_real_batched`
-    (``matvec_pair_batched`` maps (xr, xi) [B, dim] pairs).  ``v0`` is a
-    complex host array [B, dim] (padded — zeros in decoupled padding).
-    Returns a list of ``nbatch`` :class:`EighResult` with complex
-    eigenvector rows."""
-    b = nbatch
-    neigen = min(neigen, dim)
-    ncv = int(min(max(ncv, neigen + 2), dim))
-    eps = float(np.finfo(np.float64).eps)
-    tol = max(tol, eps)
-
-    rng = np.random.default_rng(seed)
-    if v0 is None:
-        v0 = rng.normal(size=(b, dim)) + 1j * rng.normal(size=(b, dim))
-    v0 = np.asarray(v0, np.complex128)
-    v0 = v0 / np.linalg.norm(v0, axis=1, keepdims=True)
-
-    br = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(
-        jnp.asarray(np.ascontiguousarray(v0.real)))
-    bi = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(
-        jnp.asarray(np.ascontiguousarray(v0.imag)))
-    t_proj = np.zeros((b, ncv, ncv), np.complex128)
+@functools.lru_cache(maxsize=None)
+def _expand_split_batched(apply_fn):
     P = jax.lax.Precision.HIGHEST
 
     @jax.jit
-    def expand(br, bi, k):
+    def expand(op, br, bi, k):
         ncv1 = br.shape[1]
+        nb = br.shape[0]
 
         def do_step(args):
             br, bi, j = args
-            wr, wi = matvec_pair_batched(br[:, j], bi[:, j])
+            wr, wi = apply_fn(op, br[:, j], bi[:, j])
             mask = (jnp.arange(ncv1) <= j)[None]
 
             def proj(wr, wi):
@@ -474,8 +516,8 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
 
         def skip_step(args):
             br, bi, j = args
-            z = jnp.zeros((b, ncv1 - 1))
-            return br, bi, z, z, jnp.zeros(b)
+            z = jnp.zeros((nb, ncv1 - 1))
+            return br, bi, z, z, jnp.zeros(nb)
 
         def step(carry, j):
             br, bi = carry
@@ -487,20 +529,58 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
             step, (br, bi), jnp.arange(ncv1 - 1))
         return br, bi, crs, cis, betas
 
-    @jax.jit
-    def restart_basis(br, bi, sr, si):
-        # s [B, ncv, k] complex split: rows_k = sum_n s[n,k] V_n
-        vr, vi = br[:, :ncv], bi[:, :ncv]
-        nr = jnp.einsum("bnk,bnd->bkd", sr, vr, precision=P) \
-            - jnp.einsum("bnk,bnd->bkd", si, vi, precision=P)
-        ni = jnp.einsum("bnk,bnd->bkd", sr, vi, precision=P) \
-            + jnp.einsum("bnk,bnd->bkd", si, vr, precision=P)
-        return nr, ni
+    return expand
+
+
+@jax.jit
+def _restart_basis_split_batched(br, bi, sr, si):
+    P = jax.lax.Precision.HIGHEST
+    ncv = sr.shape[1]
+    vr, vi = br[:, :ncv], bi[:, :ncv]
+    nr = jnp.einsum("bnk,bnd->bkd", sr, vr, precision=P) \
+        - jnp.einsum("bnk,bnd->bkd", si, vi, precision=P)
+    ni = jnp.einsum("bnk,bnd->bkd", sr, vi, precision=P) \
+        + jnp.einsum("bnk,bnd->bkd", si, vr, precision=P)
+    return nr, ni
+
+
+def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
+                               neigen: int, ncv: int, maxiter: int = 512,
+                               tol: float = 1e-14,
+                               v0: Optional[np.ndarray] = None,
+                               seed: int = 8527, op=None):
+    """Batched thick-restart Lanczos on the split-pair representation:
+    the complex-sector twin of :func:`lanczos_eigh_real_batched`
+    (``matvec_pair_batched`` maps (xr, xi) [B, dim] pairs).  ``v0`` is a
+    complex host array [B, dim] (padded — zeros in decoupled padding).
+    Returns a list of ``nbatch`` :class:`EighResult` with complex
+    eigenvector rows."""
+    b = nbatch
+    neigen = min(neigen, dim)
+    ncv = int(min(max(ncv, neigen + 2), dim))
+    eps = float(np.finfo(np.float64).eps)
+    tol = max(tol, eps)
+
+    rng = np.random.default_rng(seed)
+    if v0 is None:
+        v0 = rng.normal(size=(b, dim)) + 1j * rng.normal(size=(b, dim))
+    v0 = np.asarray(v0, np.complex128)
+    v0 = v0 / np.linalg.norm(v0, axis=1, keepdims=True)
+
+    br = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(
+        jnp.asarray(np.ascontiguousarray(v0.real)))
+    bi = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(
+        jnp.asarray(np.ascontiguousarray(v0.imag)))
+    t_proj = np.zeros((b, ncv, ncv), np.complex128)
+    apply_fn, opd, cached = _as_applier(matvec_pair_batched, op)
+    expand = (_expand_split_batched(apply_fn) if cached
+              else _expand_split_batched.__wrapped__(apply_fn))
+    restart_basis = _restart_basis_split_batched
 
     k = 0
     nmv = 0
     while True:
-        br, bi, crs, cis, betas_d = expand(br, bi, k)
+        br, bi, crs, cis, betas_d = expand(opd, br, bi, k)
         crs = np.asarray(crs)                  # [ncv, B, ncv]
         cis = np.asarray(cis)
         betas_np = np.asarray(betas_d)         # [ncv, B]
@@ -565,14 +645,18 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
                             neigen: int, ncv: int, maxiter: int = 512,
                             tol: float = 1e-14,
                             v0: Optional[np.ndarray] = None,
-                            seed: int = 8527) -> EighResult:
+                            seed: int = 8527, op32=None,
+                            op64=None) -> EighResult:
     """Mixed-precision real-plane eigensolver (see
-    :func:`lanczos_eigh_mixed`)."""
+    :func:`lanczos_eigh_mixed`).  ``op32``/``op64`` select the pure
+    apply(op, x) form for the two precisions."""
     f32_tol = max(tol, 2e-6)
     res32 = lanczos_eigh_real(matvec_real32, dim, neigen=neigen, ncv=ncv,
                               maxiter=maxiter, tol=f32_tol, v0=v0,
-                              seed=seed, dtype=jnp.float32)
-    theta, vecs, resid = rayleigh_refine_real(matvec_real64,
+                              seed=seed, dtype=jnp.float32, op=op32)
+    mv64 = (matvec_real64 if op64 is None
+            else (lambda x: matvec_real64(op64, x)))
+    theta, vecs, resid = rayleigh_refine_real(mv64,
                                               res32.eigenvectors, neigen)
     nmv = res32.iterations + len(res32.eigenvectors)
     ok = np.all(resid <= np.sqrt(max(tol, 1e-15))
@@ -580,30 +664,31 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     if not ok:
         res64 = lanczos_eigh_real(matvec_real64, dim, neigen=neigen,
                                   ncv=ncv, maxiter=maxiter, tol=tol,
-                                  v0=vecs[0], seed=seed)
+                                  v0=vecs[0], seed=seed, op=op64)
         return EighResult(res64.eigenvalues, res64.eigenvectors,
                           nmv + res64.iterations, res64.converged)
     return EighResult(theta, vecs, nmv, True)
 
 
-def _expand_block_split(matvec_pair, ncv: int):
+@functools.lru_cache(maxsize=None)
+def _expand_block_split(apply_fn):
     """Whole-restart CGS2 Lanczos expansion in ONE device call (TPU path).
 
     Scans j = 0..ncv-1 with masked updates (steps j < k are skipped when
     resuming from a thick restart of size k), so every restart costs a
     single host-device round trip instead of ncv — essential over a
     high-latency device tunnel.  The Krylov basis lives as two separate
-    f64 planes (br, bi) [ncv+1, dim].  Returns the projection columns
-    [ncv, ncv] (re/im) and betas [ncv]."""
+    f64 planes (br, bi) [ncv+1, dim]; ``apply_fn(op, vr, vi)`` pure.
+    Returns the projection columns [ncv, ncv] (re/im) and betas [ncv]."""
     P = jax.lax.Precision.HIGHEST
 
     @jax.jit
-    def expand(br, bi, k):
+    def expand(op, br, bi, k):
         ncv1 = br.shape[0]
 
         def do_step(args):
             br, bi, j = args
-            wr, wi = matvec_pair(br[j], bi[j])
+            wr, wi = apply_fn(op, br[j], bi[j])
             mask = (jnp.arange(ncv1) <= j)
 
             def proj(wr, wi):
@@ -651,7 +736,8 @@ def _expand_block_split(matvec_pair, ncv: int):
 def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
                        maxiter: int = 512, tol: float = 1e-14,
                        v0: Optional[np.ndarray] = None,
-                       seed: int = 8527, dtype=jnp.float64) -> EighResult:
+                       seed: int = 8527, dtype=jnp.float64,
+                       op=None) -> EighResult:
     """Thick-restart Lanczos on the split-pair representation (TPU path).
     Same semantics as :func:`lanczos_eigh`; eigenvectors are returned as a
     host complex array [neigen, dim].
@@ -676,24 +762,17 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
     bi = jnp.zeros((ncv + 1, dim), dtype).at[0].set(
         jnp.asarray(v0[1], dtype))
     t_proj = np.zeros((ncv, ncv), dtype=np.complex128)
-    expand = _expand_block_split(matvec_pair, ncv)
+    apply_fn, opd, cached = _as_applier(matvec_pair, op)
+    expand = (_expand_block_split(apply_fn) if cached
+              else _expand_block_split.__wrapped__(apply_fn))
 
-    @jax.jit
-    def restart_basis(br, bi, sr, si):
-        # new rows i = sum_j s[j,i] V_j  (s complex, basis split)
-        P = jax.lax.Precision.HIGHEST
-        vr, vi = br[:ncv], bi[:ncv]
-        nr = jnp.matmul(sr.T, vr, precision=P) \
-            - jnp.matmul(si.T, vi, precision=P)
-        ni = jnp.matmul(sr.T, vi, precision=P) \
-            + jnp.matmul(si.T, vr, precision=P)
-        return nr, ni
+    restart_basis = _restart_split
 
     k = 0
     nmv = 0
     while True:
         # one device call expands k -> ncv (latency-critical over a tunnel)
-        br, bi, crs, cis, betas_d = expand(br, bi, k)
+        br, bi, crs, cis, betas_d = expand(opd, br, bi, k)
         crs = np.asarray(crs)
         cis = np.asarray(cis)
         betas_np = np.asarray(betas_d)
@@ -866,7 +945,8 @@ def rayleigh_refine(matvec_pair64, vecs: np.ndarray, neigen: int):
 def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
                        ncv: int, maxiter: int = 512, tol: float = 1e-14,
                        v0: Optional[np.ndarray] = None,
-                       seed: int = 8527) -> EighResult:
+                       seed: int = 8527, op32=None,
+                       op64=None) -> EighResult:
     """Mixed-precision eigensolver: f32 thick-restart Lanczos for the
     Krylov iterations (MXU throughput), one f64 Rayleigh-Ritz refinement
     for the eigenvalues.  Falls back to a short f64 polish run when the
@@ -874,8 +954,10 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
     f32_tol = max(tol, 2e-6)
     res32 = lanczos_eigh_split(matvec_pair32, dim, neigen=neigen, ncv=ncv,
                                maxiter=maxiter, tol=f32_tol, v0=v0,
-                               seed=seed, dtype=jnp.float32)
-    theta, vecs, resid = rayleigh_refine(matvec_pair64,
+                               seed=seed, dtype=jnp.float32, op=op32)
+    mv64 = (matvec_pair64 if op64 is None
+            else (lambda vr, vi: matvec_pair64(op64, vr, vi)))
+    theta, vecs, resid = rayleigh_refine(mv64,
                                          res32.eigenvectors, neigen)
     nmv = res32.iterations + len(res32.eigenvectors)
     # residual-based error estimate; polish in f64 if insufficient
@@ -884,7 +966,7 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
     if not ok:
         res64 = lanczos_eigh_split(matvec_pair64, dim, neigen=neigen,
                                    ncv=ncv, maxiter=maxiter, tol=tol,
-                                   v0=vecs[0], seed=seed)
+                                   v0=vecs[0], seed=seed, op=op64)
         return EighResult(res64.eigenvalues, res64.eigenvectors,
                           nmv + res64.iterations, res64.converged)
     return EighResult(theta, vecs, nmv, True)

@@ -420,6 +420,112 @@ def make_matvec_real_batched(ops, pad: tuple, dtype=jnp.float64):
     return mv
 
 
+# ---------------------------------------------------------------------------
+# pure appliers: operator passed as a pytree ARGUMENT
+# ---------------------------------------------------------------------------
+#
+# Closure-captured device arrays are baked into jitted HLO as constants, so
+# a kernel closed over the operator recompiles for every sector AND every
+# DMFT iteration (new bath -> new constants -> new HLO hash).  The hot
+# eigensolvers therefore take (apply_fn, op) with apply_fn a module-level
+# PURE function: the compiled executable is keyed only on shapes/dtypes and
+# is shared across sectors in the same shape bucket and across bath updates.
+
+def apply_real_flat(dev: DenseRealOp, x: jax.Array) -> jax.Array:
+    """Flat one-plane matvec: x [dim_p] -> H·x [dim_p] (pure)."""
+    return matvec_dense_real(dev, x.reshape(dev.diag.shape)).reshape(-1)
+
+
+def apply_real_flat_batched(dev: DenseRealOp, x: jax.Array) -> jax.Array:
+    """Batched flat one-plane matvec: dev leaves and x carry a leading
+    batch axis (pure)."""
+    return jax.vmap(apply_real_flat)(dev, x)
+
+
+def apply_pair_flat(dev: DenseSplitOp, xr: jax.Array, xi: jax.Array):
+    """Flat split-pair matvec (pure)."""
+    sh = dev.diag.shape
+    wr, wi = matvec_dense_pair(dev, xr.reshape(sh), xi.reshape(sh))
+    return wr.reshape(-1), wi.reshape(-1)
+
+
+def apply_realpair_flat(dev: DenseRealOp, xr: jax.Array, xi: jax.Array):
+    """Flat pair matvec over a REAL operator (4 matmuls; pure)."""
+    sh = dev.diag.shape
+    wr, wi = matvec_dense_real_pair(dev, xr.reshape(sh), xi.reshape(sh))
+    return wr.reshape(-1), wi.reshape(-1)
+
+
+def apply_pair_flat_batched(dev: DenseSplitOp, xr, xi):
+    return jax.vmap(apply_pair_flat)(dev, xr, xi)
+
+
+def build_real_padded(op: SectorOperator, dtype=jnp.float64):
+    """(dev, dim_p, embed, extract) for the pure-applier real path, or
+    None when the operator is complex / too large for dense factors."""
+    dd, du = op.dim_dw, op.dim_up
+    if max(du, dd) > DENSE_FACTOR_MAX or not op_is_real(op):
+        return None
+    ddp, dup = _bucket(dd), _bucket(du)
+    dev = to_device_dense_real(
+        op, pad_to=(ddp, dup) if (ddp, dup) != (dd, du) else None,
+        dtype=dtype)
+
+    def embed(v):
+        return embed_real(v, dd, du, ddp, dup)
+
+    def extract(v):
+        return extract_real(v, dd, du, ddp, dup)
+
+    return dev, ddp * dup, embed, extract
+
+
+def build_pair_padded(op: SectorOperator, dtype=jnp.float64):
+    """(dev, real_flag, dim_p, embed, extract) for the pure-applier pair
+    path (dev is DenseRealOp when the operator is real, else
+    DenseSplitOp); None when too large for dense factors."""
+    dd, du = op.dim_dw, op.dim_up
+    if max(du, dd) > DENSE_FACTOR_MAX:
+        return None
+    ddp, dup = _bucket(dd), _bucket(du)
+    pad = (ddp, dup) if (ddp, dup) != (dd, du) else None
+    real = op_is_real(op)
+    dev = (to_device_dense_real(op, pad_to=pad, dtype=dtype) if real
+           else to_device_dense_split(op, pad_to=pad, dtype=dtype))
+
+    def embed(v):
+        return embed_real(v, dd, du, ddp, dup)
+
+    def extract(v):
+        return extract_real(v, dd, du, ddp, dup)
+
+    return dev, real, ddp * dup, embed, extract
+
+
+def stack_real_ops(ops, pad: tuple, dtype=jnp.float64) -> DenseRealOp:
+    """Stacked DenseRealOp with a leading batch axis over same-bucket
+    sectors (for :func:`apply_real_flat_batched`)."""
+    ddp, dup = pad
+    devs = [to_device_dense_real(
+        op, pad_to=None if (op.dim_dw, op.dim_up) == (ddp, dup) else pad,
+        dtype=dtype) for op in ops]
+    fields = ("diag", "hdw", "hupT", "nd_amp", "nd_upT", "nd_dw")
+    return DenseRealOp(**{
+        f: jnp.stack([getattr(d, f) for d in devs]) for f in fields})
+
+
+def stack_pair_ops(ops, pad: tuple, dtype=jnp.float64) -> DenseSplitOp:
+    """Stacked DenseSplitOp over same-bucket complex sectors."""
+    ddp, dup = pad
+    devs = [to_device_dense_split(
+        op, pad_to=None if (op.dim_dw, op.dim_up) == (ddp, dup) else pad,
+        dtype=dtype) for op in ops]
+    fields = ("diag", "hdw_r", "hdw_i", "hdw_s", "hupT_r", "hupT_i",
+              "hupT_s", "nd_amp_r", "nd_amp_i", "nd_upT", "nd_dw")
+    return DenseSplitOp(**{
+        f: jnp.stack([getattr(d, f) for d in devs]) for f in fields})
+
+
 def make_matvec_pair_batched(ops, pad: tuple, dtype=jnp.float64):
     """Batched split-pair matvec over B same-bucket COMPLEX sectors:
     mv(xr[B, dim_p], xi[B, dim_p]) -> (wr, wi) (sector-parallel dispatch
