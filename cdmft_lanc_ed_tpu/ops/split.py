@@ -143,6 +143,15 @@ def make_matvec_split(op: SplitSectorOp):
 # exactly what XLA's emulated-f64 dot already does at ~2 TFLOP/s effective.
 # The measured kernel sits at the matmul roofline (bench.py), i.e. the
 # HBM-side fusion a Pallas rewrite could add is not the bottleneck.
+#
+# Double-single/Ozaki splitting was evaluated and rejected (COVERAGE.md
+# "Performance status"): measured v5e envelope f64 1.49 / f32-HIGHEST 19.7 /
+# f32-HIGH 31.1 / bf16 ~100 TFLOP/s.  A 2-term split keeps only f32 accuracy
+# (hi*hi products round at 2^-24); an error-free split needs 6-bit slices at
+# K=2048, i.e. ~45 bf16 passes for 53-bit products = ~2.2 TFLOP/s effective —
+# ~1.5x over native f64 emulation before split/merge overhead.  The
+# mixed-precision eigensolver (f32 Krylov + f64 Rayleigh-Ritz, residual-
+# checked f64 fallback) is the throughput path instead.
 
 _PREC = jax.lax.Precision.HIGHEST
 
