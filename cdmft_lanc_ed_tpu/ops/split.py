@@ -137,12 +137,14 @@ def make_matvec_split(op: SplitSectorOp):
 # object stays implicit in the tensor-product form), so memory is
 # O(Dim_s^2) << O(Dim^2).
 #
-# Why XLA matmuls rather than a hand-written Pallas kernel: Mosaic rejects
-# f64 `dot` on the target TPU (probed: UNIMPLEMENTED), so a Pallas kernel
-# would have to re-implement extended-precision matmul from f32 MXU passes —
-# exactly what XLA's emulated-f64 dot already does at ~2 TFLOP/s effective.
-# The measured kernel sits at the matmul roofline (bench.py), i.e. the
-# HBM-side fusion a Pallas rewrite could add is not the bottleneck.
+# Precision split of the kernel stack: the f64 path runs XLA matmuls —
+# Mosaic rejects f64 `dot` on the target TPU (probed: UNIMPLEMENTED), so a
+# Pallas f64 kernel would have to re-implement extended-precision matmul
+# from f32 MXU passes, exactly what XLA's emulated-f64 dot already does at
+# its roofline (bench.py).  The f32 path (mixed-precision Krylov stage)
+# dispatches to the fused Pallas kernel in ops/pallas_fused.py: diag-term
+# + both tensor-product matmuls in one kernel, output tile resident in
+# VMEM across the contraction (runtime-probed, XLA fallback).
 #
 # Double-single/Ozaki splitting was evaluated and rejected (COVERAGE.md
 # "Performance status"): measured v5e envelope f64 1.49 / f32-HIGHEST 19.7 /
@@ -274,16 +276,24 @@ def matvec_dense_pair(op: DenseSplitOp, xr: jax.Array, xi: jax.Array):
     Each complex product uses the 3-multiplication (Karatsuba) form:
       Re = P1 - P2,  Im = P3 - P1 - P2
     with P1 = Ar·Xr, P2 = Ai·Xi, P3 = (Ar+Ai)·(Xr+Xi) — 6 matmuls per
-    matvec instead of 8 (25 % fewer MXU passes for one guard bit)."""
-    xs = xr + xi
-    p1 = _mm(op.hdw_r, xr)
-    p2 = _mm(op.hdw_i, xi)
-    p3 = _mm(op.hdw_s, xs)
-    q1 = _mm(xr, op.hupT_r)
-    q2 = _mm(xi, op.hupT_i)
-    q3 = _mm(xs, op.hupT_s)
-    out_r = op.diag * xr + (p1 - p2) + (q1 - q2)
-    out_i = op.diag * xi + (p3 - p1 - p2) + (q3 - q1 - q2)
+    matvec instead of 8 (25 % fewer MXU passes for one guard bit).  On TPU
+    the f32 pair (mixed-precision Krylov for complex models) dispatches to
+    the fused Pallas kernel."""
+    from . import pallas_fused
+    if pallas_fused.should_use(xr.shape, xr.dtype):
+        out_r, out_i = pallas_fused.fused_pair_matvec(
+            op.diag, op.hdw_r, op.hdw_i, op.hdw_s,
+            op.hupT_r, op.hupT_i, op.hupT_s, xr, xi)
+    else:
+        xs = xr + xi
+        p1 = _mm(op.hdw_r, xr)
+        p2 = _mm(op.hdw_i, xi)
+        p3 = _mm(op.hdw_s, xs)
+        q1 = _mm(xr, op.hupT_r)
+        q2 = _mm(xi, op.hupT_i)
+        q3 = _mm(xs, op.hupT_s)
+        out_r = op.diag * xr + (p1 - p2) + (q1 - q2)
+        out_i = op.diag * xi + (p3 - p1 - p2) + (q3 - q1 - q2)
     tcount = op.nd_amp_r.shape[0]
     for t in range(tcount):
         # amp * O_dw · X · O_upᵀ   (O real sign patterns; T is tiny)
@@ -391,8 +401,15 @@ def to_device_dense_real(op: SectorOperator, pad_to: tuple = None,
 def matvec_dense_real(op: DenseRealOp, x: jax.Array) -> jax.Array:
     """H·x for real H and a REAL plane x [DimDw, DimUp]: two MXU matmuls
     (plus the tiny Jx/Jp sign-pattern products) instead of the complex
-    kernel's six."""
-    out = op.diag * x + _mm(op.hdw, x) + _mm(x, op.hupT)
+    kernel's six.  On TPU the f32 plane (mixed-precision Krylov stage)
+    dispatches to the fused Pallas kernel (ops/pallas_fused.py): one pass
+    over x, output tile resident in VMEM — no HBM round-trip for the two
+    matmul intermediates."""
+    from . import pallas_fused
+    if pallas_fused.should_use(x.shape, x.dtype):
+        out = pallas_fused.fused_real_matvec(op.diag, op.hdw, op.hupT, x)
+    else:
+        out = op.diag * x + _mm(op.hdw, x) + _mm(x, op.hupT)
     for t in range(op.nd_amp.shape[0]):
         out = out + op.nd_amp[t] * _mm(op.nd_dw[t], _mm(x, op.nd_upT[t]))
     return out
