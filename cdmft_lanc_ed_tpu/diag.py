@@ -184,7 +184,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
     # Lanczos sectors run through ONE batched thick-restart stream,
     # amortising kernel launches / host-device round trips. ---
     batched_results = {}
-    if spmv.use_split_backend() and cfg.ed_precision != "mixed":
+    if spmv.use_split_backend():
+        import jax.numpy as jnp
         from .ops import split
         from .parallel import multichip
         mesh = multichip.get_solver_mesh()
@@ -234,10 +235,35 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                          m[1].dim_dw, m[1].dim_up, ddp,
                                          dup)
                         for m in chunk])
-                    res_list = lanczos.lanczos_eigh_real_batched(
-                        split.apply_real_flat_batched, len(chunk), dim_p,
-                        neigen=neigen_g, ncv=ncv_g, maxiter=maxiter_g,
-                        tol=cfg.lanc_tolerance, v0=v0, op=dev_b)
+                    if cfg.ed_precision == "mixed":
+                        # batched f32 Krylov (fused Pallas H·v on TPU) +
+                        # batched f64 Rayleigh-Ritz refine
+                        dev_b32 = split.stack_real_ops(
+                            [m[1] for m in chunk], (ddp, dup),
+                            dtype=jnp.float32)
+
+                        def fb64(i, v0_row, _chunk=chunk):
+                            dev_i = split.build_real_padded(_chunk[i][1])[0]
+                            return lanczos.lanczos_eigh_real(
+                                split.apply_real_flat, dim_p,
+                                neigen=neigen_g, ncv=ncv_g,
+                                maxiter=maxiter_g,
+                                tol=cfg.lanc_tolerance, v0=v0_row,
+                                op=dev_i)
+
+                        res_list = lanczos.lanczos_eigh_mixed_real_batched(
+                            split.apply_real_flat_batched,
+                            split.apply_real_flat_batched, len(chunk),
+                            dim_p, neigen=neigen_g, ncv=ncv_g,
+                            maxiter=maxiter_g, tol=cfg.lanc_tolerance,
+                            v0=v0, op32=dev_b32, op64=dev_b,
+                            fallback64=fb64)
+                    else:
+                        res_list = lanczos.lanczos_eigh_real_batched(
+                            split.apply_real_flat_batched, len(chunk),
+                            dim_p, neigen=neigen_g, ncv=ncv_g,
+                            maxiter=maxiter_g, tol=cfg.lanc_tolerance,
+                            v0=v0, op=dev_b)
                 else:
                     dev_b = split.stack_pair_ops(
                         [m[1] for m in chunk], (ddp, dup))
@@ -247,10 +273,34 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             + 1j * rng.normal(size=m[2]),
                             m[1].dim_dw, m[1].dim_up, ddp, dup)
                         for m in chunk])
-                    res_list = lanczos.lanczos_eigh_split_batched(
-                        split.apply_pair_flat_batched, len(chunk), dim_p,
-                        neigen=neigen_g, ncv=ncv_g, maxiter=maxiter_g,
-                        tol=cfg.lanc_tolerance, v0=v0, op=dev_b)
+                    if cfg.ed_precision == "mixed":
+                        dev_b32 = split.stack_pair_ops(
+                            [m[1] for m in chunk], (ddp, dup),
+                            dtype=jnp.float32)
+
+                        def fb64c(i, v0_row, _chunk=chunk):
+                            dev_i = split.build_pair_padded(_chunk[i][1])[0]
+                            return lanczos.lanczos_eigh_split(
+                                split.apply_pair_flat, dim_p,
+                                neigen=neigen_g, ncv=ncv_g,
+                                maxiter=maxiter_g,
+                                tol=cfg.lanc_tolerance, v0=v0_row,
+                                op=dev_i)
+
+                        res_list = \
+                            lanczos.lanczos_eigh_mixed_split_batched(
+                                split.apply_pair_flat_batched,
+                                split.apply_pair_flat_batched, len(chunk),
+                                dim_p, neigen=neigen_g, ncv=ncv_g,
+                                maxiter=maxiter_g, tol=cfg.lanc_tolerance,
+                                v0=v0, op32=dev_b32, op64=dev_b,
+                                fallback64=fb64c)
+                    else:
+                        res_list = lanczos.lanczos_eigh_split_batched(
+                            split.apply_pair_flat_batched, len(chunk),
+                            dim_p, neigen=neigen_g, ncv=ncv_g,
+                            maxiter=maxiter_g, tol=cfg.lanc_tolerance,
+                            v0=v0, op=dev_b)
                 for m, res in zip(chunk, res_list):
                     isector, op, dim, neigen = m[0], m[1], m[2], m[3]
                     vecs = split.extract_real(

@@ -373,7 +373,8 @@ def _expand_real_batched(apply_fn):
 
         def skip_step(args):
             bb, j = args
-            return bb, jnp.zeros((nb, ncv1 - 1)), jnp.zeros(nb)
+            return bb, jnp.zeros((nb, ncv1 - 1), bb.dtype), \
+                jnp.zeros(nb, bb.dtype)
 
         def step(carry, j):
             bb, = carry
@@ -400,7 +401,8 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
                               neigen: int, ncv: int, maxiter: int = 512,
                               tol: float = 1e-14,
                               v0: Optional[np.ndarray] = None,
-                              seed: int = 8527, op=None):
+                              seed: int = 8527, op=None,
+                              dtype=jnp.float64):
     """Batched thick-restart Lanczos: ``nbatch`` independent REAL symmetric
     operators (one batched matvec [B, dim] -> [B, dim]) solved in ONE
     device stream with a SHARED restart schedule.
@@ -417,7 +419,7 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
     b = nbatch
     neigen = min(neigen, dim)
     ncv = int(min(max(ncv, neigen + 2), dim))
-    eps = float(np.finfo(np.float64).eps)
+    eps = float(np.finfo(np.dtype(dtype).name).eps)
     tol = max(tol, eps)
 
     rng = np.random.default_rng(seed)
@@ -426,7 +428,8 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
     v0 = np.real(np.asarray(v0))
     v0 = v0 / np.linalg.norm(v0, axis=1, keepdims=True)
 
-    basis = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(jnp.asarray(v0))
+    basis = jnp.zeros((b, ncv + 1, dim), dtype).at[:, 0].set(
+        jnp.asarray(v0, dtype))
     t_proj = np.zeros((b, ncv, ncv))
     apply_fn, opd, cached = _as_applier(matvec_batched, op)
     expand = (_expand_real_batched(apply_fn) if cached
@@ -462,7 +465,7 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
                                bool(conv[i])) for i in range(b)]
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
-        sj = jnp.asarray(np.ascontiguousarray(s[:, :, :k]))
+        sj = jnp.asarray(np.ascontiguousarray(s[:, :, :k]), dtype)
         nb = restart_basis(basis, sj)                      # [B, k, dim]
         basis = jnp.zeros_like(basis).at[:, :k].set(nb) \
             .at[:, k].set(basis[:, ncv])
@@ -516,8 +519,8 @@ def _expand_split_batched(apply_fn):
 
         def skip_step(args):
             br, bi, j = args
-            z = jnp.zeros((nb, ncv1 - 1))
-            return br, bi, z, z, jnp.zeros(nb)
+            z = jnp.zeros((nb, ncv1 - 1), br.dtype)
+            return br, bi, z, z, jnp.zeros(nb, br.dtype)
 
         def step(carry, j):
             br, bi = carry
@@ -548,7 +551,8 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
                                neigen: int, ncv: int, maxiter: int = 512,
                                tol: float = 1e-14,
                                v0: Optional[np.ndarray] = None,
-                               seed: int = 8527, op=None):
+                               seed: int = 8527, op=None,
+                               dtype=jnp.float64):
     """Batched thick-restart Lanczos on the split-pair representation:
     the complex-sector twin of :func:`lanczos_eigh_real_batched`
     (``matvec_pair_batched`` maps (xr, xi) [B, dim] pairs).  ``v0`` is a
@@ -558,7 +562,7 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
     b = nbatch
     neigen = min(neigen, dim)
     ncv = int(min(max(ncv, neigen + 2), dim))
-    eps = float(np.finfo(np.float64).eps)
+    eps = float(np.finfo(np.dtype(dtype).name).eps)
     tol = max(tol, eps)
 
     rng = np.random.default_rng(seed)
@@ -567,10 +571,10 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
     v0 = np.asarray(v0, np.complex128)
     v0 = v0 / np.linalg.norm(v0, axis=1, keepdims=True)
 
-    br = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(
-        jnp.asarray(np.ascontiguousarray(v0.real)))
-    bi = jnp.zeros((b, ncv + 1, dim)).at[:, 0].set(
-        jnp.asarray(np.ascontiguousarray(v0.imag)))
+    br = jnp.zeros((b, ncv + 1, dim), dtype).at[:, 0].set(
+        jnp.asarray(np.ascontiguousarray(v0.real), dtype))
+    bi = jnp.zeros((b, ncv + 1, dim), dtype).at[:, 0].set(
+        jnp.asarray(np.ascontiguousarray(v0.imag), dtype))
     t_proj = np.zeros((b, ncv, ncv), np.complex128)
     apply_fn, opd, cached = _as_applier(matvec_pair_batched, op)
     expand = (_expand_split_batched(apply_fn) if cached
@@ -612,8 +616,8 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
         sj = s[:, :, :k]
-        sr = jnp.asarray(np.ascontiguousarray(sj.real))
-        si = jnp.asarray(np.ascontiguousarray(sj.imag))
+        sr = jnp.asarray(np.ascontiguousarray(sj.real), dtype)
+        si = jnp.asarray(np.ascontiguousarray(sj.imag), dtype)
         nr, ni = restart_basis(br, bi, sr, si)
         br = jnp.zeros_like(br).at[:, :k].set(nr).at[:, k].set(br[:, ncv])
         bi = jnp.zeros_like(bi).at[:, :k].set(ni).at[:, k].set(bi[:, ncv])
@@ -668,6 +672,125 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
         return EighResult(res64.eigenvalues, res64.eigenvectors,
                           nmv + res64.iterations, res64.converged)
     return EighResult(theta, vecs, nmv, True)
+
+
+def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
+                                 neigen: int, op64=None):
+    """Batched real Rayleigh-Ritz refine: vecs [B, k, dim] approximate
+    (f32) eigenbases, one batched f64 matvec [B, dim] -> [B, dim].
+    Returns (theta [B, ne], vecs [B, ne, dim], resid [B, ne])."""
+    apply_fn, opd, _ = _as_applier(matvec_batched64, op64)
+    b, k, dim = vecs.shape
+    q = np.stack([np.linalg.qr(np.real(vecs[i]).T)[0] for i in range(b)])
+    w = np.empty((b, dim, k))
+    for j in range(k):
+        w[:, :, j] = np.asarray(apply_fn(opd, jnp.asarray(q[:, :, j])))
+    hk = np.einsum("bdk,bdl->bkl", q, w)
+    hk = 0.5 * (hk + hk.transpose(0, 2, 1))
+    theta, s = np.linalg.eigh(hk)                      # [B, k], [B, k, k]
+    new_vecs = np.einsum("bdk,bkl->bld", q, s)         # [B, k, dim]
+    resid = np.linalg.norm(
+        np.einsum("bdk,bkl->bld", w, s)
+        - new_vecs * theta[:, :, None], axis=2)        # [B, k]
+    return (theta[:, :neigen], new_vecs[:, :neigen], resid[:, :neigen])
+
+
+def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
+                                    nbatch: int, dim: int, neigen: int,
+                                    ncv: int, maxiter: int = 512,
+                                    tol: float = 1e-14,
+                                    v0: Optional[np.ndarray] = None,
+                                    seed: int = 8527, op32=None,
+                                    op64=None, fallback64=None):
+    """Mixed-precision sector-parallel dispatch: B same-bucket REAL
+    sectors run ONE batched f32 thick-restart Lanczos stream (Pallas
+    fused H·v on TPU), refined by a batched f64 Rayleigh-Ritz pass.
+    Members whose refined residual misses the f64 target are re-solved
+    via ``fallback64(i, v0_row) -> EighResult`` (an individual f64
+    thick-restart solve).
+
+    Returns a list of ``nbatch`` :class:`EighResult` — combining the
+    reference-missing sector parallelism (ED_DIAG.f90:78 is serial) with
+    the f32-Krylov throughput scheme."""
+    f32_tol = max(tol, 2e-6)
+    res32 = lanczos_eigh_real_batched(
+        matvec_batched32, nbatch, dim, neigen=neigen, ncv=ncv,
+        maxiter=maxiter, tol=f32_tol, v0=v0, seed=seed, op=op32,
+        dtype=jnp.float32)
+    vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
+    theta, vecs, resid = rayleigh_refine_real_batched(
+        matvec_batched64, vecs32, neigen, op64=op64)
+    rtol = np.sqrt(max(tol, 1e-15))
+    out = []
+    for i in range(nbatch):
+        nmv = res32[i].iterations + vecs32.shape[1]
+        ok = np.all(resid[i] <= rtol * np.maximum(np.abs(theta[i]), 1.0))
+        if ok or fallback64 is None:
+            out.append(EighResult(theta[i].copy(), vecs[i].copy(), nmv,
+                                  bool(ok)))
+        else:
+            r64 = fallback64(i, vecs[i, 0])
+            out.append(EighResult(r64.eigenvalues, r64.eigenvectors,
+                                  nmv + r64.iterations, r64.converged))
+    return out
+
+
+def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
+                                  neigen: int, op64=None):
+    """Batched complex Rayleigh-Ritz refine on the split-pair kernel:
+    vecs [B, k, dim] complex approximate eigenbases, one batched f64 pair
+    matvec (xr, xi) [B, dim] -> (wr, wi).
+    Returns (theta [B, ne], vecs [B, ne, dim] complex, resid [B, ne])."""
+    apply_fn, opd, _ = _as_applier(matvec_pair_batched64, op64)
+    b, k, dim = vecs.shape
+    q = np.stack([np.linalg.qr(vecs[i].T)[0] for i in range(b)])
+    w = np.empty((b, dim, k), np.complex128)
+    for j in range(k):
+        qj = np.ascontiguousarray(q[:, :, j])
+        wr, wi = apply_fn(opd, jnp.asarray(qj.real), jnp.asarray(qj.imag))
+        w[:, :, j] = np.asarray(wr) + 1j * np.asarray(wi)
+    hk = np.einsum("bdk,bdl->bkl", q.conj(), w)
+    hk = 0.5 * (hk + hk.conj().transpose(0, 2, 1))
+    theta, s = np.linalg.eigh(hk)                      # [B, k], [B, k, k]
+    new_vecs = np.einsum("bdk,bkl->bld", q, s)         # [B, k, dim]
+    resid = np.linalg.norm(
+        np.einsum("bdk,bkl->bld", w, s)
+        - new_vecs * theta[:, :, None], axis=2)
+    return (theta[:, :neigen].real, new_vecs[:, :neigen],
+            resid[:, :neigen])
+
+
+def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
+                                     nbatch: int, dim: int, neigen: int,
+                                     ncv: int, maxiter: int = 512,
+                                     tol: float = 1e-14,
+                                     v0: Optional[np.ndarray] = None,
+                                     seed: int = 8527, op32=None,
+                                     op64=None, fallback64=None):
+    """Complex-sector twin of :func:`lanczos_eigh_mixed_real_batched`:
+    batched f32 split-pair thick-restart Lanczos + batched f64
+    Rayleigh-Ritz refine, with a per-member f64 fallback."""
+    f32_tol = max(tol, 2e-6)
+    res32 = lanczos_eigh_split_batched(
+        matvec_batched32, nbatch, dim, neigen=neigen, ncv=ncv,
+        maxiter=maxiter, tol=f32_tol, v0=v0, seed=seed, op=op32,
+        dtype=jnp.float32)
+    vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
+    theta, vecs, resid = rayleigh_refine_split_batched(
+        matvec_batched64, vecs32, neigen, op64=op64)
+    rtol = np.sqrt(max(tol, 1e-15))
+    out = []
+    for i in range(nbatch):
+        nmv = res32[i].iterations + vecs32.shape[1]
+        ok = np.all(resid[i] <= rtol * np.maximum(np.abs(theta[i]), 1.0))
+        if ok or fallback64 is None:
+            out.append(EighResult(theta[i].copy(), vecs[i].copy(), nmv,
+                                  bool(ok)))
+        else:
+            r64 = fallback64(i, vecs[i, 0])
+            out.append(EighResult(r64.eigenvalues, r64.eigenvectors,
+                                  nmv + r64.iterations, r64.converged))
+    return out
 
 
 @functools.lru_cache(maxsize=None)

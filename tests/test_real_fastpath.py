@@ -283,3 +283,84 @@ def test_batched_dispatch_complex_solver(tmp_path, monkeypatch):
     b2 = s2.init_solver()
     s2.solve(b2, h)
     assert egs_split == pytest.approx(s2.egs, abs=1e-8)
+
+
+def test_mixed_batched_lanczos_matches_dense():
+    """Batched mixed-precision dispatch (f32 batched Krylov + batched f64
+    Rayleigh-Ritz) reaches f64 accuracy on every batch member."""
+    ops = [make_real_op(nup=3, ndw=2)[1], make_real_op(nup=2, ndw=3)[1]]
+    ddp = max(split._bucket(o.dim_dw) for o in ops)
+    dup = max(split._bucket(o.dim_up) for o in ops)
+    from cdmft_lanc_ed_tpu.ops.split import (apply_real_flat,
+                                             apply_real_flat_batched,
+                                             build_real_padded, embed_real,
+                                             extract_real, stack_real_ops)
+    dev64 = stack_real_ops(ops, (ddp, dup))
+    dev32 = stack_real_ops(ops, (ddp, dup), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    v0 = np.stack([embed_real(rng.normal(size=o.dim), o.dim_dw, o.dim_up,
+                              ddp, dup) for o in ops])
+
+    def fb64(i, v0_row):
+        dev_i = build_real_padded(ops[i])[0]
+        return lanczos.lanczos_eigh_real(
+            apply_real_flat, ddp * dup, neigen=2, ncv=24, maxiter=500,
+            tol=1e-13, v0=v0_row, op=dev_i)
+
+    res_b = lanczos.lanczos_eigh_mixed_real_batched(
+        apply_real_flat_batched, apply_real_flat_batched, 2, ddp * dup,
+        neigen=2, ncv=24, maxiter=500, tol=1e-13, v0=v0,
+        op32=dev32, op64=dev64, fallback64=fb64)
+    for o, r in zip(ops, res_b):
+        w = np.linalg.eigvalsh(o.to_dense())
+        np.testing.assert_allclose(r.eigenvalues, w[:2], atol=5e-9)
+        vecs = extract_real(np.asarray(r.eigenvectors), o.dim_dw, o.dim_up,
+                            ddp, dup)
+        for i in range(2):
+            hv = o.matvec_np(vecs[i].astype(complex))
+            # vectors carry f32-level residuals by design (energies are f64)
+            assert np.linalg.norm(hv - w[i] * vecs[i]) < 5e-6
+        assert r.converged
+
+
+def test_mixed_batched_split_lanczos_matches_dense():
+    """Complex-sector batched mixed-precision dispatch (f32 batched pair
+    Krylov + batched f64 complex Rayleigh-Ritz) reaches f64 energies."""
+    from cdmft_lanc_ed_tpu.ops.split import (apply_pair_flat,
+                                             apply_pair_flat_batched,
+                                             build_pair_padded, embed_real,
+                                             stack_pair_ops)
+    op1 = make_complex_op()
+    rng = np.random.default_rng(4)
+    cfg = EDConfig(nlat=1, norb=2, nspin=1, nbath=2,
+                   uloc=[2.0, 1.0, 0, 0, 0], ed_verbose=0)
+    nn = (1, 1, 1, 1, 2, 2)
+    h = rng.normal(size=nn) + 1j * rng.normal(size=nn)
+    h = 0.5 * (h + h.conj().transpose(1, 0, 3, 2, 5, 4))
+    hrec = (rng.normal(size=(2,) + nn) * 0.4).astype(complex)
+    hrec = 0.5 * (hrec + hrec.conj().transpose(0, 2, 1, 4, 3, 6, 5))
+    dhyb = rng.normal(size=(1, 1, 2, 2))
+    op2 = sector_ham.build_sector_operator(cfg, h, hrec, dhyb, 2, 3)
+    ops = [op1, op2]
+    ddp = max(split._bucket(o.dim_dw) for o in ops)
+    dup = max(split._bucket(o.dim_up) for o in ops)
+    dev64 = stack_pair_ops(ops, (ddp, dup))
+    dev32 = stack_pair_ops(ops, (ddp, dup), dtype=jnp.float32)
+    v0 = np.stack([embed_real(
+        rng.normal(size=o.dim) + 1j * rng.normal(size=o.dim),
+        o.dim_dw, o.dim_up, ddp, dup) for o in ops])
+
+    def fb64(i, v0_row):
+        dev_i = build_pair_padded(ops[i])[0]
+        return lanczos.lanczos_eigh_split(
+            apply_pair_flat, ddp * dup, neigen=2, ncv=26, maxiter=600,
+            tol=1e-13, v0=v0_row, op=dev_i)
+
+    res = lanczos.lanczos_eigh_mixed_split_batched(
+        apply_pair_flat_batched, apply_pair_flat_batched, 2, ddp * dup,
+        neigen=2, ncv=26, maxiter=600, tol=1e-13, v0=v0,
+        op32=dev32, op64=dev64, fallback64=fb64)
+    for o, r in zip(ops, res):
+        w = np.linalg.eigvalsh(o.to_dense())
+        np.testing.assert_allclose(r.eigenvalues, w[:2], atol=5e-9)
+        assert r.converged
