@@ -110,6 +110,7 @@ class EDConfig:
     # --- TPU-framework-specific knobs (new; no reference counterpart) ---
     ed_file_suffix: str = ""     # suffix attached to restart/output files
     ed_precision: str = "complex128"   # device dtype for eigensolves
+    ed_gf_precision: str = "double"    # GF tridiag dtype: double|single
     work_dir: str = "."          # directory for restart/output text files
 
     # ------------------------------------------------------------------
@@ -157,6 +158,10 @@ class EDConfig:
             raise ValueError("norb > 5 is not supported")
         if self.bath_type not in ("replica", "general"):
             raise ValueError(f"unknown bath_type '{self.bath_type}'")
+        if self.ed_gf_precision not in ("double", "single"):
+            raise ValueError(
+                f"ed_gf_precision must be 'double' or 'single', "
+                f"got '{self.ed_gf_precision}'")
         if self.ed_precision not in ("complex128", "mixed"):
             raise ValueError(
                 f"ed_precision must be 'complex128' or 'mixed', "

@@ -251,6 +251,13 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
     # device operator cache per target sector within this build
     op_cache: Dict[Tuple[int, int], object] = {}
     use_split = spmv.use_split_backend()
+    # opt-in single-precision GF tridiagonalisation (ed_gf_precision):
+    # alpha/beta at f32 give ~1e-6-relative GF accuracy at ~3-4x the
+    # matvec throughput (fused Pallas kernel on TPU); pole weights and the
+    # continued-fraction evaluation stay f64
+    import jax.numpy as _jnp
+    gf_dtype = (_jnp.float32 if cfg.ed_gf_precision == "single"
+                else _jnp.float64)
 
     def matvec_for(jnup, jndw, want_real=False):
         """Device kernel kit for the target sector.  ``want_real`` selects
@@ -265,9 +272,10 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
             if use_split:
                 from .ops import split as split_mod
                 op = build(jnup, jndw)
-                op_cache[key] = (split_mod.build_real_padded(op)
-                                 if key[2]
-                                 else split_mod.build_pair_padded(op))
+                op_cache[key] = (
+                    split_mod.build_real_padded(op, dtype=gf_dtype)
+                    if key[2]
+                    else split_mod.build_pair_padded(op, dtype=gf_dtype))
             else:
                 dev = spmv.to_device(build(jnup, jndw))
                 op_cache[key] = spmv.make_matvec(dev)
@@ -317,7 +325,8 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                         alphas, betas, norms = \
                             lanczos.lanczos_tridiag_batched_real(
                                 split_mod.apply_real_flat,
-                                embed(batch.real), nlanc, op=dev)
+                                embed(batch.real), nlanc, op=dev,
+                                dtype=gf_dtype)
                     else:
                         pair_kit = matvec_for(jnup, jndw)
                         if pair_kit is not None:
@@ -326,7 +335,8 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                                    else split_mod.apply_pair_flat)
                             alphas, betas, norms = \
                                 lanczos.lanczos_tridiag_batched_split(
-                                    app, embed(batch), nlanc, op=dev)
+                                    app, embed(batch), nlanc, op=dev,
+                                    dtype=gf_dtype)
                         else:
                             # factors too large for dense: legacy closure
                             mv, dim_p, embed, extract = \

@@ -146,7 +146,7 @@ def _tridiag_split_run(apply_fn, niter: int):
             return (vr, vi, nr, ni, beta), (alpha, beta)
 
         z = jnp.zeros_like(v0r)
-        carry = (z, z, v0r, v0i, jnp.zeros(v0r.shape[0]))
+        carry = (z, z, v0r, v0i, jnp.zeros(v0r.shape[0], v0r.dtype))
         _, (alphas, betas) = jax.lax.scan(step, carry, None, length=niter)
         return alphas.T, betas.T
 
@@ -154,7 +154,7 @@ def _tridiag_split_run(apply_fn, niter: int):
 
 
 def lanczos_tridiag_batched_split(matvec_pair, v0: np.ndarray, niter: int,
-                                  op=None):
+                                  op=None, dtype=jnp.float64):
     """Split-representation batched tridiagonalisation (TPU path).
 
     v0 : complex host array [B, dim]; ``matvec_pair`` maps one (vr, vi)
@@ -164,8 +164,10 @@ def lanczos_tridiag_batched_split(matvec_pair, v0: np.ndarray, niter: int,
     v0 = np.asarray(v0)
     norms0 = np.linalg.norm(v0, axis=1)
     scale = np.where(norms0 > 1e-300, norms0, 1.0)
-    v0r = jnp.asarray(np.ascontiguousarray(v0.real / scale[:, None]))
-    v0i = jnp.asarray(np.ascontiguousarray(v0.imag / scale[:, None]))
+    v0r = jnp.asarray(np.ascontiguousarray(v0.real / scale[:, None]),
+                      dtype)
+    v0i = jnp.asarray(np.ascontiguousarray(v0.imag / scale[:, None]),
+                      dtype)
     apply_fn, opd, cached = _as_applier(matvec_pair, op)
     run = (_tridiag_split_run(apply_fn, niter) if cached
            else _tridiag_split_run.__wrapped__(apply_fn, niter))
@@ -191,7 +193,8 @@ def _tridiag_real_run(apply_fn, niter: int):
                             0.0)
             return (v, nxt, beta), (alpha, beta)
 
-        carry = (jnp.zeros_like(v0n), v0n, jnp.zeros(v0n.shape[0]))
+        carry = (jnp.zeros_like(v0n), v0n,
+                 jnp.zeros(v0n.shape[0], v0n.dtype))
         _, (alphas, betas) = jax.lax.scan(step, carry, None, length=niter)
         return alphas.T, betas.T
 
@@ -199,7 +202,7 @@ def _tridiag_real_run(apply_fn, niter: int):
 
 
 def lanczos_tridiag_batched_real(matvec_real, v0: np.ndarray, niter: int,
-                                 op=None):
+                                 op=None, dtype=jnp.float64):
     """Batched tridiagonalisation for a REAL symmetric operator and REAL
     start vectors: one f64 plane instead of two (3x fewer MXU passes than
     the complex kernel; see ops/split.py real fast path).
@@ -212,7 +215,7 @@ def lanczos_tridiag_batched_real(matvec_real, v0: np.ndarray, niter: int,
     v0 = np.asarray(v0)
     norms0 = np.linalg.norm(v0, axis=1)
     scale = np.where(norms0 > 1e-300, norms0, 1.0)
-    v0n = jnp.asarray(np.ascontiguousarray(v0 / scale[:, None]))
+    v0n = jnp.asarray(np.ascontiguousarray(v0 / scale[:, None]), dtype)
     apply_fn, opd, cached = _as_applier(matvec_real, op)
     run = (_tridiag_real_run(apply_fn, niter) if cached
            else _tridiag_real_run.__wrapped__(apply_fn, niter))

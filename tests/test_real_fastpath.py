@@ -364,3 +364,30 @@ def test_mixed_batched_split_lanczos_matches_dense():
         w = np.linalg.eigvalsh(o.to_dense())
         np.testing.assert_allclose(r.eigenvalues, w[:2], atol=5e-9)
         assert r.converged
+
+
+def test_gf_single_precision_close_to_double(tmp_path, monkeypatch):
+    """ed_gf_precision='single' (f32 GF tridiag, the TPU throughput lever)
+    reproduces the f64 GF to ~1e-4 — poles/weights from f32 alpha/beta."""
+    monkeypatch.setenv("CDMFT_SPLIT_BACKEND", "1")
+    from cdmft_lanc_ed_tpu import EDSolver
+    h = np.zeros((4, 4, 1, 1, 1, 1), dtype=complex)
+    for (i, j) in [(0, 1), (0, 2), (1, 3), (2, 3)]:
+        h[i, j, 0, 0, 0, 0] = h[j, i, 0, 0, 0, 0] = -1.0
+
+    def run(prec, wd):
+        cfg = EDConfig(nlat=4, norb=1, nspin=1, nbath=0, uloc=[4.0],
+                       lmats=16, lreal=8, lanc_ngfiter=48, ed_verbose=0,
+                       lanc_dim_threshold=8, ed_gf_precision=prec,
+                       work_dir=str(wd))
+        s = EDSolver(cfg)
+        s.init_solver()
+        s.solve(np.zeros(0), h)
+        return s.gf.gmats.copy()
+
+    d1 = tmp_path / "dbl"; d1.mkdir()
+    d2 = tmp_path / "sgl"; d2.mkdir()
+    g_dbl = run("double", d1)
+    g_sgl = run("single", d2)
+    assert np.max(np.abs(g_sgl - g_dbl)) < 1e-3
+    np.testing.assert_allclose(g_sgl, g_dbl, atol=1e-3, rtol=1e-3)
