@@ -46,7 +46,10 @@ def run_dmft_loop(solver: EDSolver, hk: np.ndarray, hloc_nnn: np.ndarray,
     cfg = solver.cfg
     nloop = max_loops if max_loops is not None else cfg.nloop
     conv = ConvergenceCheck(cfg.dmft_error, cfg.nsuccess)
-    mu_search = MuSearch(cfg.nread, cfg.ndelta, cfg.nerr) \
+    mu_search = MuSearch(cfg.nread, cfg.ndelta, cfg.nerr,
+                         niter=max(1, cfg.nloop // 3),
+                         work_dir=cfg.work_dir,
+                         suffix=cfg.ed_file_suffix) \
         if cfg.nread != 0.0 else None
     bath_prev = None
     gloc = weiss = None
@@ -99,11 +102,10 @@ def run_dmft_loop(solver: EDSolver, hk: np.ndarray, hloc_nnn: np.ndarray,
 
         if mu_search is not None:
             dens = float(solver.dens().sum())
-            new_mu, mu_ok = mu_search.step(cfg.xmu, dens)
-            if not mu_ok:
+            new_mu, done = mu_search.step(cfg.xmu, dens, converged=done)
+            if new_mu != cfg.xmu:
                 log(f"  mu: {cfg.xmu:.6f} -> {new_mu:.6f} (n={dens:.6f})")
                 cfg.xmu = new_mu
-                done = False
         if done:
             return DMFTResult(True, it, err, bath, solver, gloc, weiss)
     return DMFTResult(False, it, err, bath, solver, gloc, weiss)

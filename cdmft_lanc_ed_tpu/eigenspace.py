@@ -97,10 +97,15 @@ class StateList:
 
     def add(self, energy: float, vector: np.ndarray, isector: int, ns: int,
             twin: bool = False, size: Optional[int] = None):
-        if size is not None and self.size >= size:
-            if energy >= self.emax:
-                return
-            self.pop()
+        # A twin insertion occupies TWO slots (state + pointer entry); evict
+        # pair-aware until both fit, like the reference handles twin pairs
+        # atomically (ED_EIGENSPACE.f90:197-220, es_pop_state pair removal).
+        if size is not None:
+            need = 2 if twin else 1
+            while self.size + need > size:
+                if energy >= self.emax:
+                    return
+                self.pop()
         self.insert(energy, vector, isector, ns, twin=twin)
 
     # -- persistence (state_list.ed / .restart format) --------------------

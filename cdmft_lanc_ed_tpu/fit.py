@@ -93,7 +93,7 @@ def _make_chi2(cfg: EDConfig, basis_lso: jnp.ndarray,
         per_elem = (mag / wdelta[:, None, None]).sum(axis=0)   # [n, n]
         return (per_elem / wmat).sum() / ldelta / (nlso * nlso)
 
-    return jax.jit(jax.value_and_grad(chi2))
+    return jax.jit(jax.value_and_grad(chi2)), jax.jit(model), jax.jit(chi2)
 
 
 @complex_safe
@@ -130,8 +130,8 @@ def chi2_fitgf(cfg: EDConfig, hb: BathBasis, fg_nnn: np.ndarray,
                                        nlat, nspin, norb))
 
     basis_lso = basis_lso_of(cfg, hb)
-    vg = _make_chi2(cfg, basis_lso, hloc_lso, jnp.asarray(fg_lso), z,
-                    wdelta, wmat)
+    vg, model_fn, chi2_fn = _make_chi2(cfg, basis_lso, hloc_lso,
+                                       jnp.asarray(fg_lso), z, wdelta, wmat)
 
     # pack fit parameters (bath array minus N_dec header)
     nv = 1 if cfg.bath_type == "replica" else nlso
@@ -145,9 +145,55 @@ def chi2_fitgf(cfg: EDConfig, hb: BathBasis, fg_nnn: np.ndarray,
         val, grad = vg(jnp.asarray(x))
         return float(val), np.asarray(grad)
 
+    def fun_nojac(x):
+        return float(chi2_fn(jnp.asarray(x)))
+
+    # cg_method/cg_grad dispatch (ED_FIT_REPLICA.f90:138-224):
+    #   cg_method=0 -> NR-style fmin_cg (cg_grad=0 analytic, 1 numeric);
+    #   cg_method=1 -> f77 "minimize" CG (Krauth/Lichtenstein, always
+    #   numeric with step cg_minimize_hh; cg_minimize_ver picks old/new
+    #   f77 code).  Here the gradient is autodiff — bitwise-exact where
+    #   the reference's hand-derived analytic one exists (and it only
+    #   covers cg_grad=0 on new-enough compilers, ED_FIT_REPLICA.f90:141)
+    #   — so the numeric-derivative variants are superseded: they were
+    #   fallbacks for missing/untrusted analytic gradients.  We log the
+    #   supersession loudly and reject out-of-range values.
+    if cfg.cg_method not in (0, 1):
+        raise ValueError(f"cg_method={cfg.cg_method} not supported "
+                         "(reference accepts 0=NR-CG, 1=minimize; "
+                         "ED_INPUT_VARS.f90:181)")
+    if cfg.cg_grad not in (0, 1):
+        raise ValueError(f"cg_grad={cfg.cg_grad} not supported (0|1)")
+    if cfg.cg_method == 1 or cfg.cg_grad == 1:
+        log("chi2 fit: numeric-gradient request (cg_method="
+            f"{cfg.cg_method}, cg_grad={cfg.cg_grad}) superseded by the "
+            "exact autodiff gradient (cg_minimize_ver/cg_minimize_hh "
+            "are f77-minimize internals with no autodiff counterpart)")
+    options = {"maxiter": cfg.cg_niter, "gtol": cfg.cg_ftol}
+
+    # cg_stop stopping criteria (ED_INPUT_VARS.f90:184):
+    #   C1 = |F_{n-1} - F_n| < ftol*(1+F_n)
+    #   C2 = ||x_{n-1} - x_n|| < ftol*(1+||x_n||)
+    #   0 = C1 AND C2, 1 = C1, 2 = C2 — enforced via callback.
+    if cfg.cg_stop not in (0, 1, 2):
+        raise ValueError(f"cg_stop={cfg.cg_stop} not supported (0-2)")
+    _prev = {"f": None, "x": None}
+
+    def callback(xk):
+        fk = fun_nojac(xk)
+        fp, xp = _prev["f"], _prev["x"]
+        _prev["f"], _prev["x"] = fk, np.asarray(xk).copy()
+        if fp is None:
+            return
+        c1 = abs(fp - fk) < cfg.cg_ftol * (1.0 + abs(fk))
+        c2 = (np.linalg.norm(xp - xk)
+              < cfg.cg_ftol * (1.0 + np.linalg.norm(xk)))
+        stop = {0: c1 and c2, 1: c1, 2: c2}[cfg.cg_stop]
+        if stop:
+            raise StopIteration
+
     res = minimize(fun, x0, jac=True, method="CG",
-                   options={"maxiter": cfg.cg_niter,
-                            "gtol": cfg.cg_ftol})
+                   callback=callback, options=options)
     xfit = res.x
     log(f"chi2 fit: chi2={res.fun:.6e} iter={res.nit} "
         f"converged={res.success}")
@@ -160,11 +206,51 @@ def chi2_fitgf(cfg: EDConfig, hb: BathBasis, fg_nnn: np.ndarray,
     out = pack_dmft_bath(cfg, new_bath)
 
     # result files (ED_FIT_REPLICA.f90:228-291)
+    suffix = "_ALLorb_ALLspins" + cfg.ed_file_suffix
     try:
         with open(os.path.join(cfg.work_dir,
-                               "chi2fit_results" + cfg.ed_file_suffix
-                               + ".ed"), "a") as fh:
-            fh.write(f"{res.fun:25.15e} {res.nit:6d}\n")
+                               "chi2fit_results" + suffix + ".ed"),
+                  "a") as fh:
+            fh.write(f"{res.fun:18.9e} {res.nit:5d}\n")
     except OSError:
         pass
+    _write_fit_result(cfg, model_fn, xfit, fg_lso, wm)
     return out, float(res.fun), int(res.nit)
+
+
+def _write_fit_result(cfg: EDConfig, model_fn, xfit: np.ndarray,
+                      fg_lso: np.ndarray, wm: np.ndarray) -> None:
+    """fit_weiss/fit_delta per-component files
+    (ED_FIT_REPLICA.f90:249-291, write_fit_result): columns
+    ``w  Im fg  Im fgand  Re fg  Re fgand`` on the fit grid."""
+    from .utils.reshape import lso2nnn
+    nlat, nspin, norb = cfg.nlat, cfg.nspin, cfg.norb
+    fgand_lso = np.asarray(model_fn(jnp.asarray(xfit)))
+    fg_nnn = lso2nnn(np.moveaxis(fg_lso, 0, -1), nlat, nspin, norb)
+    fgand_nnn = lso2nnn(np.moveaxis(fgand_lso, 0, -1), nlat, nspin, norb)
+    stem = "fit_weiss" if cfg.cg_scheme == "weiss" else "fit_delta"
+    for ilat in range(nlat):
+        for jlat in range(nlat):
+            for ispin in range(nspin):
+                for jspin in range(nspin):
+                    for iorb in range(norb):
+                        for jorb in range(norb):
+                            name = (f"{stem}_i{ilat+1}_j{jlat+1}"
+                                    f"_l{iorb+1}_m{jorb+1}"
+                                    f"_s{ispin+1}_r{jspin+1}"
+                                    f"{cfg.ed_file_suffix}.ed")
+                            a = fg_nnn[ilat, jlat, ispin, jspin,
+                                       iorb, jorb]
+                            b = fgand_nnn[ilat, jlat, ispin, jspin,
+                                          iorb, jorb]
+                            try:
+                                with open(os.path.join(cfg.work_dir,
+                                                       name), "w") as fh:
+                                    for i, w in enumerate(wm):
+                                        fh.write(
+                                            f"{w:24.15f}{a[i].imag:24.15f}"
+                                            f"{b[i].imag:24.15f}"
+                                            f"{a[i].real:24.15f}"
+                                            f"{b[i].real:24.15f}\n")
+                            except OSError:
+                                return

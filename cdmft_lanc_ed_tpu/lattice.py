@@ -209,84 +209,158 @@ def dmft_kinetic_energy(cfg: EDConfig, hk: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# chemical-potential search (search_chemical_potential,
-# ED_AUX_FUNX.f90:701-853 simplified bracketing secant)
+# chemical-potential search (search_chemical_potential + ed_search_variable,
+# ED_AUX_FUNX.f90:586-853)
 # ---------------------------------------------------------------------------
 
 class VariableSearch:
     """ed_search_variable (ED_AUX_FUNX.f90:586-697): secant update of a
     control variable (usually mu) toward a target density using a running
-    compressibility estimate persisted to ``var_compressibility.restart``."""
+    compressibility estimate ``chich = dvar/dn`` persisted to
+    ``var_compressibility.restart`` (and echoed to ``.used``)."""
 
     def __init__(self, nread: float, nerr: float = 1e-4,
-                 ndelta: float = 0.1, work_dir: str = "."):
+                 ndelta: float = 0.1, work_dir: str = ".",
+                 suffix: str = ""):
         import os
         self.nread = nread
         self.nerr = nerr
-        self.ndelta = ndelta
+        self.work_dir = work_dir
+        self.suffix = suffix
         self.path = os.path.join(work_dir, "var_compressibility.restart")
-        self.chi = None                  # dn/dmu estimate
-        self.prev = None                 # (var, dens)
+        self.chich = ndelta              # dvar/dn estimate (init :619)
+        self.nold = 0.0
+        self.var_old = 0.0
+        self.count = 0
+        self.totcount = 0
         if os.path.exists(self.path):
             try:
                 with open(self.path) as fh:
-                    self.chi = float(fh.read().split()[0])
+                    self.chich = float(fh.read().split()[0])
             except (OSError, ValueError, IndexError):
                 pass
 
-    def step(self, var: float, dens: float):
-        """Returns (new_var, converged)."""
+    def step(self, var: float, ntmp: float,
+             converged: bool = True) -> Tuple[float, bool]:
+        """Returns (new_var, converged) — converged is the DMFT flag in,
+        gated on |n - nread| <= nerr out (ED_AUX_FUNX.f90:686)."""
         import os
-        diff = dens - self.nread
-        if abs(diff) < self.nerr:
-            self._save()
-            return var, True
-        if self.prev is not None:
-            v0, d0 = self.prev
-            if abs(var - v0) > 1e-14 and abs(dens - d0) > 1e-14:
-                chi_new = (dens - d0) / (var - v0)
-                if chi_new > 0:          # physical compressibility
-                    self.chi = chi_new if self.chi is None else \
-                        0.5 * (self.chi + chi_new)
-        self.prev = (var, dens)
-        if self.chi is not None and self.chi > 1e-12:
-            step = -diff / self.chi
-            step = float(np.clip(step, -abs(self.ndelta), abs(self.ndelta)))
-        else:
-            step = -np.sign(diff) * self.ndelta
-        self._save()
-        return var + step, False
-
-    def _save(self):
+        if self.nread == 0.0:
+            return var, converged
+        self.count += 1
+        self.totcount += 1
+        if self.count == 1:
+            self.var_old = var
+        ndiff = ntmp - self.nread
+        self._write(os.path.join(self.work_dir,
+                                 "var_compressibility.used"))
+        # charge compressibility chich = dvar/dn (:638-641)
+        if self.count > 1:
+            self.chich = (var - self.var_old) / (ntmp - self.nold + 1e-10)
+        if self.chich > 10.0:
+            self.chich = 2.0                       # clamp (:644)
+        var_new = var - ndiff * self.chich         # (:649)
+        self.nold = ntmp
+        self.var_old = var
         try:
-            with open(self.path, "w") as fh:
-                fh.write(f"{self.chi if self.chi is not None else 0.0:.12e}\n")
+            with open(os.path.join(
+                    self.work_dir, "search_variable_iteration_info"
+                    + self.suffix + ".ed"), "a") as fh:
+                fh.write(f"{self.totcount} {var_new:.12e} {ntmp:.12e} "
+                         f"{ndiff:.12e}\n")
+        except OSError:
+            pass
+        if abs(ndiff) > self.nerr:
+            converged = False
+        self._write(self.path)
+        return var_new, converged
+
+    def _write(self, path: str):
+        try:
+            with open(path, "w") as fh:
+                fh.write(f"{self.chich:.12e}\n")
         except OSError:
             pass
 
 
 class MuSearch:
-    """Iterative mu adjustment toward a target density."""
+    """Faithful ``search_chemical_potential`` (ED_AUX_FUNX.f90:701-853):
+    fixed-step bracketing walk of mu with oscillation-triggered step
+    halving, adaptive density-threshold reduction once the DMFT loop has
+    converged at the current threshold, and ``xmu.restart`` persistence
+    (read back by config.read_input, ED_INPUT_VARS.f90:219-228)."""
 
-    def __init__(self, nread: float, ndelta: float = 0.1, nerr: float = 1e-4):
+    def __init__(self, nread: float, ndelta: float = 0.1,
+                 nerr: float = 1e-4, niter: int = 33,
+                 work_dir: str = ".", suffix: str = ""):
         self.nread = nread
         self.ndelta = ndelta
         self.nerr = nerr
-        self.prev: Optional[Tuple[float, float]] = None   # (mu, dens)
+        self.niter = niter               # = nloop/3 (ED_SETUP.f90:208)
+        self.work_dir = work_dir
+        self.suffix = suffix
+        self.count = 0
+        self.totcount = 0
+        self.nindex = 0
+        self.nindex_hist = [0, 0, 0]     # last 3 nindex values (:746-751)
+        self.nth_magnitude = -2
+        self.nth_magnitude_old = -2
+        self.nth = 1e-2
+        self.ireduce = True
 
-    def step(self, xmu: float, dens: float) -> Tuple[float, bool]:
-        """Returns (new_mu, converged)."""
-        diff = dens - self.nread
-        if abs(diff) < self.nerr:
-            return xmu, True
-        if self.prev is not None:
-            mu0, d0 = self.prev
-            if abs(dens - d0) > 1e-12 and (dens - d0) * (xmu - mu0) > 0:
-                # secant step on the compressibility, clamped
-                new = xmu - diff * (xmu - mu0) / (dens - d0)
-                new = np.clip(new, xmu - abs(self.ndelta),
-                              xmu + abs(self.ndelta))
-                self.prev = (xmu, dens)
-                return float(new), False
-        self.prev = (xmu, dens)
-        return xmu - np.sign(diff) * self.ndelta, False
+    def step(self, var: float, ntmp: float,
+             converged: bool = True) -> Tuple[float, bool]:
+        """One search iteration; returns (new_mu, converged)."""
+        import os
+        if self.nread == 0.0:
+            return var, converged
+        ndiff = ntmp - self.nread
+        nratio = 0.5
+        self.count += 1
+        self.totcount += 1
+        self.nindex_hist = [self.nindex] + self.nindex_hist[:2]
+        if ndiff >= self.nth:
+            self.nindex = -1
+        elif ndiff <= -self.nth:
+            self.nindex = 1
+        else:
+            self.nindex = 0
+        ndelta_old = self.ndelta
+        # halve the step when the walk oscillates (:761-766)
+        osc = self.nindex != 0 and (
+            self.nindex + self.nindex_hist[0] == 0
+            or self.nindex + sum(self.nindex_hist) == 0)
+        if osc:
+            self.ndelta = ndelta_old * nratio
+        if abs(ndelta_old) < 1e-9:
+            ndelta_old = 0.0
+            self.nindex = 0
+        var = var + self.nindex * self.ndelta
+        try:
+            with open(os.path.join(self.work_dir, "search_mu_iteration"
+                                   + self.suffix + ".ed"), "a") as fh:
+                fh.write(f"{var:.12e} {ntmp:.12e} {ndiff:.12e}\n")
+        except OSError:
+            pass
+        # adaptive threshold reduction once converged at this nth (:803-812)
+        if (self.ireduce and abs(ndiff) < self.nth and converged
+                and self.nth > self.nerr):
+            self.nth_magnitude_old = self.nth_magnitude
+            self.nth_magnitude -= 1
+            self.nth = max(self.nerr, 10.0 ** self.nth_magnitude)
+            self.count = 0
+            converged = False
+            self.ndelta = ndelta_old * nratio
+        if abs(ndiff) > self.nth:
+            converged = False
+        # give up reducing after too many iterations at one threshold (:823)
+        if self.ireduce and self.count > self.niter and not converged:
+            self.ireduce = False
+            self.nth = 10.0 ** self.nth_magnitude_old
+        try:
+            with open(os.path.join(self.work_dir, "xmu.restart"),
+                      "w") as fh:
+                fh.write(f"{var:.12e} {self.ndelta:.12e}\n")
+        except OSError:
+            pass
+        return var, converged
