@@ -213,9 +213,14 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
             if len(members) < 2:
                 continue
             dim_p = ddp * dup
-            # chunk so the Krylov bases stay within ~2 GB
+            # chunk so Krylov bases + operator stacks stay within ~2 GB
+            # (operator storage was previously unaccounted, ADVICE r1)
             planes = 1 if is_real else 2
-            bmax = max(2, int(2e9 / ((ncv_g + 1) * dim_p * 8 * planes)))
+            op_fields = 2 if is_real else 6     # hdw(+i,s) / hupT(+i,s)
+            op_bytes = (dim_p + (op_fields // 2) * (ddp * ddp + dup * dup)
+                        + _t * (ddp * ddp + dup * dup)) * 8
+            member_bytes = (ncv_g + 1) * dim_p * 8 * planes + op_bytes
+            bmax = max(2, int(2e9 / member_bytes))
             for lo in range(0, len(members), bmax):
                 chunk = members[lo:lo + bmax]
                 if len(chunk) < 2:
@@ -228,8 +233,6 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                 # per (bucket, B, ncv), shared across sector groups and
                 # across DMFT iterations (bath updates)
                 if is_real:
-                    dev_b = split.stack_real_ops(
-                        [m[1] for m in chunk], (ddp, dup))
                     v0 = np.stack([
                         split.embed_real(rng.normal(size=m[2]),
                                          m[1].dim_dw, m[1].dim_up, ddp,
@@ -237,11 +240,9 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         for m in chunk])
                     if cfg.ed_precision == "mixed":
                         # batched f32 Krylov (fused Pallas H·v on TPU) +
-                        # batched f64 Rayleigh-Ritz refine
-                        dev_b32 = split.stack_real_ops(
-                            [m[1] for m in chunk], (ddp, dup),
-                            dtype=jnp.float32)
-
+                        # batched f64 Rayleigh-Ritz refine; the f64 stack
+                        # is built lazily AFTER the f32 stage (thunk), so
+                        # the two operator stacks never coexist in HBM
                         def fb64(i, v0_row, _chunk=chunk):
                             dev_i = split.build_real_padded(_chunk[i][1])[0]
                             return lanczos.lanczos_eigh_real(
@@ -256,17 +257,21 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             split.apply_real_flat_batched, len(chunk),
                             dim_p, neigen=neigen_g, ncv=ncv_g,
                             maxiter=maxiter_g, tol=cfg.lanc_tolerance,
-                            v0=v0, op32=dev_b32, op64=dev_b,
+                            v0=v0,
+                            op32=split.stack_real_ops(
+                                [m[1] for m in chunk], (ddp, dup),
+                                dtype=jnp.float32),
+                            op64=lambda _c=chunk: split.stack_real_ops(
+                                [m[1] for m in _c], (ddp, dup)),
                             fallback64=fb64)
                     else:
                         res_list = lanczos.lanczos_eigh_real_batched(
                             split.apply_real_flat_batched, len(chunk),
                             dim_p, neigen=neigen_g, ncv=ncv_g,
                             maxiter=maxiter_g, tol=cfg.lanc_tolerance,
-                            v0=v0, op=dev_b)
+                            v0=v0, op=split.stack_real_ops(
+                                [m[1] for m in chunk], (ddp, dup)))
                 else:
-                    dev_b = split.stack_pair_ops(
-                        [m[1] for m in chunk], (ddp, dup))
                     v0 = np.stack([
                         split.embed_real(
                             rng.normal(size=m[2])
@@ -274,10 +279,6 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             m[1].dim_dw, m[1].dim_up, ddp, dup)
                         for m in chunk])
                     if cfg.ed_precision == "mixed":
-                        dev_b32 = split.stack_pair_ops(
-                            [m[1] for m in chunk], (ddp, dup),
-                            dtype=jnp.float32)
-
                         def fb64c(i, v0_row, _chunk=chunk):
                             dev_i = split.build_pair_padded(_chunk[i][1])[0]
                             return lanczos.lanczos_eigh_split(
@@ -293,14 +294,20 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 split.apply_pair_flat_batched, len(chunk),
                                 dim_p, neigen=neigen_g, ncv=ncv_g,
                                 maxiter=maxiter_g, tol=cfg.lanc_tolerance,
-                                v0=v0, op32=dev_b32, op64=dev_b,
+                                v0=v0,
+                                op32=split.stack_pair_ops(
+                                    [m[1] for m in chunk], (ddp, dup),
+                                    dtype=jnp.float32),
+                                op64=lambda _c=chunk: split.stack_pair_ops(
+                                    [m[1] for m in _c], (ddp, dup)),
                                 fallback64=fb64c)
                     else:
                         res_list = lanczos.lanczos_eigh_split_batched(
                             split.apply_pair_flat_batched, len(chunk),
                             dim_p, neigen=neigen_g, ncv=ncv_g,
                             maxiter=maxiter_g, tol=cfg.lanc_tolerance,
-                            v0=v0, op=dev_b)
+                            v0=v0, op=split.stack_pair_ops(
+                                [m[1] for m in chunk], (ddp, dup)))
                 for m, res in zip(chunk, res_list):
                     isector, op, dim, neigen = m[0], m[1], m[2], m[3]
                     vecs = split.extract_real(

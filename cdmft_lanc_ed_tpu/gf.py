@@ -182,16 +182,23 @@ def base_excitations(cfg: EDConfig, v2d: np.ndarray, nup: int, ndw: int,
 
 def _chain_to_poles(alphas: np.ndarray, betas: np.ndarray, norm0: float,
                     vfac: complex, ei: float, egs: float, isign: int,
-                    cfg: EDConfig, zeta: float) -> GFChannel:
+                    cfg: EDConfig, zeta: float,
+                    beta_floor: float = 1e-16) -> GFChannel:
     """One Lanczos chain -> (poles, weights).  ``vfac`` is the channel
-    prefactor (1 or -i); total weight prefactor = vfac*norm0^2*wBoltz/Z."""
+    prefactor (1 or -i); total weight prefactor = vfac*norm0^2*wBoltz/Z.
+
+    ``beta_floor`` is the invariant-subspace truncation threshold relative
+    to the chain scale; it must track the tridiagonalisation dtype: an f32
+    chain breaks down at beta ~ eps(f32)*scale ~ 1e-7, so the f64-calibrated
+    1e-16 would never truncate and the chain would continue on rounding
+    noise, producing ghost poles (ADVICE round 1)."""
     if norm0 == 0.0:
         return GFChannel(np.zeros(0), np.zeros(0, np.complex128))
     # truncate at first vanishing beta (invariant subspace)
     m = len(alphas)
     scale = max(1.0, float(np.abs(alphas).max(initial=1.0)))
     for j in range(len(betas)):
-        if betas[j] < 1e-16 * scale:
+        if betas[j] < beta_floor * scale:
             m = j + 1
             break
     theta, z0 = lanczos.tridiag_eigh(alphas[:m], betas[:m - 1])
@@ -256,8 +263,13 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
     # matvec throughput (fused Pallas kernel on TPU); pole weights and the
     # continued-fraction evaluation stay f64
     import jax.numpy as _jnp
-    gf_dtype = (_jnp.float32 if cfg.ed_gf_precision == "single"
-                else _jnp.float64)
+    gf_single = cfg.ed_gf_precision == "single"
+    gf_dtype = _jnp.float32 if gf_single else _jnp.float64
+    # invariant-subspace truncation must track the chain dtype (ADVICE r1)
+    beta_floor = 1e-6 if gf_single else 1e-16
+    if gf_single and not use_split:
+        log("gf: ed_gf_precision='single' only affects the split "
+            "dense-factor backend; this backend runs f64 (knob ignored)")
 
     def matvec_for(jnup, jndw, want_real=False):
         """Device kernel kit for the target sector.  ``want_real`` selects
@@ -315,6 +327,7 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                             meta.append(((a, b), -1j))
                 batch = np.stack(vecs)
                 nlanc = min(batch.shape[1], cfg.lanc_ngfiter)
+                chain_floor = beta_floor
                 if use_split:
                     from .ops import split as split_mod
                     real_kit = None
@@ -339,20 +352,24 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                                     dtype=gf_dtype)
                         else:
                             # factors too large for dense: legacy closure
+                            # (always f64 — gf_dtype does not apply here)
                             mv, dim_p, embed, extract = \
                                 split_mod.make_matvec_pair_padded(
                                     build(jnup, jndw))
                             alphas, betas, norms = \
                                 lanczos.lanczos_tridiag_batched_split(
                                     mv, embed(batch), nlanc)
+                            chain_floor = 1e-16
                 else:
                     mv = matvec_for(jnup, jndw)
                     alphas, betas, norms = lanczos.lanczos_tridiag_batched(
                         mv, jnp.asarray(batch), nlanc)
+                    chain_floor = 1e-16
                 for k, ((a, b), vfac) in enumerate(meta):
                     ch = _chain_to_poles(alphas[k], betas[k],
                                          float(norms[k]), vfac, ei, egs,
-                                         isign, cfg, zeta)
+                                         isign, cfg, zeta,
+                                         beta_floor=chain_floor)
                     if len(ch.poles):
                         d = ch.poles * isign  # = de >= 0 excitation energies
                         max_exc = max(max_exc, float(d.max()))

@@ -720,6 +720,13 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
         matvec_batched32, nbatch, dim, neigen=neigen, ncv=ncv,
         maxiter=maxiter, tol=f32_tol, v0=v0, seed=seed, op=op32,
         dtype=jnp.float32)
+    # free the f32 operator stack BEFORE materialising the f64 one: the
+    # refine never touches op32, and holding both costs ~1.5x the f64-only
+    # operator HBM footprint (ADVICE round 1).  ``op64`` may be a zero-arg
+    # thunk resolved only now, after the Krylov stage.
+    del op32
+    if callable(op64):
+        op64 = op64()
     vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
     theta, vecs, resid = rayleigh_refine_real_batched(
         matvec_batched64, vecs32, neigen, op64=op64)
@@ -778,6 +785,9 @@ def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
         matvec_batched32, nbatch, dim, neigen=neigen, ncv=ncv,
         maxiter=maxiter, tol=f32_tol, v0=v0, seed=seed, op=op32,
         dtype=jnp.float32)
+    del op32                        # see lanczos_eigh_mixed_real_batched
+    if callable(op64):
+        op64 = op64()
     vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
     theta, vecs, resid = rayleigh_refine_split_batched(
         matvec_batched64, vecs32, neigen, op64=op64)

@@ -32,18 +32,19 @@ _PREC = jax.lax.Precision.HIGHEST
 _TILES = (512, 256, 128)
 
 
-def _tile(n: int) -> int:
+def _tile(n: int, cap: int = 512) -> int:
     for t in _TILES:
-        if n % t == 0:
+        if t <= cap and n % t == 0:
             return t
     return 0
 
 
-def supports(dd: int, du: int, dtype) -> bool:
+def supports(dd: int, du: int, dtype, cap: int = 512) -> bool:
     """True when the fused kernel can run this shape: f32 data and both
-    dims tileable to MXU-aligned (multiple-of-128) blocks."""
+    dims tileable to MXU-aligned (multiple-of-128) blocks no larger than
+    the probed VMEM-safe tile cap."""
     return (jnp.dtype(dtype) == jnp.float32
-            and _tile(dd) > 0 and _tile(du) > 0)
+            and _tile(dd, cap) > 0 and _tile(du, cap) > 0)
 
 
 def _dot(a, b):
@@ -51,17 +52,21 @@ def _dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "cap"))
 def fused_real_matvec(diag: jax.Array, hdw: jax.Array, hupT: jax.Array,
-                      x: jax.Array, interpret: bool = False) -> jax.Array:
+                      x: jax.Array, interpret: bool = False,
+                      cap: int = 0) -> jax.Array:
     """out = diag ⊙ x + hdw @ x + x @ hupT, one fused Pallas kernel.
 
     diag, x: [D, U];  hdw: [D, D];  hupT: [U, U] — all f32, D and U
     multiples of 128 (the shape-bucket ladder guarantees this for every
-    production sector, ops/split.py _BUCKETS).
+    production sector, ops/split.py _BUCKETS).  ``cap=0`` uses the probed
+    VMEM-safe tile cap.
     """
     d, u = x.shape
-    tm, tn = _tile(d), _tile(u)
+    if cap == 0:
+        cap = tile_cap() or 512     # direct/interpret calls: full ladder
+    tm, tn = _tile(d, cap), _tile(u, cap)
     tk = 128
     nkd, nku = d // tk, u // tk
     nk = max(nkd, nku)
@@ -110,12 +115,12 @@ def fused_real_matvec(diag: jax.Array, hdw: jax.Array, hupT: jax.Array,
     )(diag, x, hdw, x, x, hupT)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "cap"))
 def fused_pair_matvec(diag: jax.Array, hdw_r: jax.Array, hdw_i: jax.Array,
                       hdw_s: jax.Array, hupT_r: jax.Array,
                       hupT_i: jax.Array, hupT_s: jax.Array,
                       xr: jax.Array, xi: jax.Array,
-                      interpret: bool = False):
+                      interpret: bool = False, cap: int = 0):
     """Split-complex H·x fused into one Pallas kernel (the f32 twin of
     ops/split.matvec_dense_pair): both output planes accumulate in VMEM,
     all six Karatsuba MXU products per tile share one pass over (xr, xi).
@@ -126,7 +131,9 @@ def fused_pair_matvec(diag: jax.Array, hdw_r: jax.Array, hdw_i: jax.Array,
       Q1 = xr·hupT_r, Q2 = xi·hupT_i, Q3 = (xr+xi)·hupT_s
     """
     d, u = xr.shape
-    tm, tn = _tile(d), _tile(u)
+    if cap == 0:
+        cap = tile_cap() or 512     # direct/interpret calls: full ladder
+    tm, tn = _tile(d, cap), _tile(u, cap)
     tk = 128
     nkd, nku = d // tk, u // tk
     nk = max(nkd, nku)
@@ -192,44 +199,64 @@ _DISABLED = bool(int(os.environ.get("CDMFT_NO_PALLAS", "0") or "0"))
 
 
 @functools.lru_cache(maxsize=None)
-def pallas_ok() -> bool:
-    """One-time probe: compile + run the fused kernel on tiny aligned
-    shapes on the default backend.  Any failure (Mosaic rejection, missing
-    TPU features) permanently disables the Pallas dispatch for this
-    process; the XLA matmul path is the fallback."""
-    if _DISABLED or jax.default_backend() != "tpu":
-        return False
+def _probe_tile(t: int) -> bool:
+    """Compile + run BOTH fused kernels at the exact (tm=tn=t) tile
+    configuration — the VMEM worst case production can select.  The pair
+    kernel at t=512 holds ~13 input blocks + 2 output tiles (~15 MB with
+    double buffering), which can exceed VMEM on some chips: a per-shape
+    Mosaic failure at solve time would otherwise surface as an uncaught
+    exception inside the jitted Lanczos scan (ADVICE round 1)."""
     try:
-        d = u = 128
+        d = u = t
         rng = np.random.default_rng(0)
         diag = jnp.asarray(rng.normal(size=(d, u)), jnp.float32)
         hdw = jnp.asarray(rng.normal(size=(d, d)), jnp.float32)
         hup = jnp.asarray(rng.normal(size=(u, u)), jnp.float32)
         x = jnp.asarray(rng.normal(size=(d, u)), jnp.float32)
-        out = np.asarray(fused_real_matvec(diag, hdw, hup, x))
+        out = np.asarray(fused_real_matvec(diag, hdw, hup, x, cap=t))
         ref = np.asarray(diag) * np.asarray(x) \
             + np.asarray(hdw) @ np.asarray(x) \
             + np.asarray(x) @ np.asarray(hup)
-        if not np.allclose(out, ref, rtol=1e-4, atol=1e-4):
+        if not np.allclose(out, ref, rtol=1e-3, atol=1e-3):
             return False
         hdw_i = jnp.asarray(rng.normal(size=(d, d)), jnp.float32)
         hup_i = jnp.asarray(rng.normal(size=(u, u)), jnp.float32)
         xi = jnp.asarray(rng.normal(size=(d, u)), jnp.float32)
         outr, outi = fused_pair_matvec(diag, hdw, hdw_i, hdw + hdw_i,
-                                       hup, hup_i, hup + hup_i, x, xi)
+                                       hup, hup_i, hup + hup_i, x, xi,
+                                       cap=t)
         hc = np.asarray(hdw) + 1j * np.asarray(hdw_i)
         uc = np.asarray(hup) + 1j * np.asarray(hup_i)
         xc = np.asarray(x) + 1j * np.asarray(xi)
         refc = np.asarray(diag) * xc + hc @ xc + xc @ uc
-        return bool(np.allclose(np.asarray(outr), refc.real, rtol=1e-3,
-                                atol=1e-3)
-                    and np.allclose(np.asarray(outi), refc.imag, rtol=1e-3,
-                                    atol=1e-3))
+        return bool(np.allclose(np.asarray(outr), refc.real, rtol=1e-2,
+                                atol=1e-2)
+                    and np.allclose(np.asarray(outi), refc.imag, rtol=1e-2,
+                                    atol=1e-2))
     except Exception:
         return False
+
+
+@functools.lru_cache(maxsize=None)
+def tile_cap() -> int:
+    """Largest probe-validated tile size (0 = Pallas disabled).  Probing
+    descends the tile ladder so an over-VMEM 512 config degrades the
+    dispatch to 256/128 tiles instead of disabling Pallas outright."""
+    if _DISABLED or jax.default_backend() != "tpu":
+        return 0
+    for t in _TILES:
+        if _probe_tile(t):
+            return t
+    return 0
+
+
+def pallas_ok() -> bool:
+    """Back-compat boolean probe."""
+    return tile_cap() > 0
 
 
 def should_use(shape, dtype) -> bool:
     """Trace-time dispatch decision for ops/split.matvec_dense_real."""
     dd, du = shape
-    return supports(dd, du, dtype) and pallas_ok()
+    cap = tile_cap()
+    return cap > 0 and supports(dd, du, dtype, cap)
