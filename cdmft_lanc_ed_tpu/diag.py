@@ -336,10 +336,12 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
             continue
         op = build(nup, ndw)
         if lanc_solve:
+            from .ops import split
             from .parallel import multichip
             mesh = multichip.get_solver_mesh()
             if mesh is not None and "dw" in mesh.shape and \
-                    dim >= 64 * cfg.lanc_dim_threshold:
+                    dim >= 64 * cfg.lanc_dim_threshold and \
+                    max(op.dim_up, op.dim_dw) <= split.DENSE_FACTOR_MAX:
                 # large sector: shard the vector along dw over the mesh
                 from .parallel.sharded_spmv import (
                     sharded_matvec_pair_flat, sharded_matvec_real_flat)
@@ -402,16 +404,54 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             ncv=nblock, maxiter=nitermax * nblock,
                             tol=cfg.lanc_tolerance, v0=v0, op=dev)
                 else:
-                    # factors too large for the dense path: legacy
-                    # closure over the ELL gather kernel
-                    mv_s, dim_p, embed, extract = \
-                        split.make_matvec_pair_padded(op)
-                    v0 = embed(rng.normal(size=dim)
-                               + 1j * rng.normal(size=dim))
-                    res = lanczos.lanczos_eigh_split(
-                        mv_s, dim_p, neigen=neigen, ncv=nblock,
-                        maxiter=nitermax * nblock,
-                        tol=cfg.lanc_tolerance, v0=v0)
+                    # factors too large for the dense path: block-sparse
+                    # large-sector kernels (ops/large.py) — the Ns>=16
+                    # regime the reference serves with its MPI stored-CSR
+                    # matvec (ED_HAMILTONIAN_SPARSE_HxV.f90:230-315)
+                    from .ops import large
+                    lr = large.build_real_padded_large(op,
+                                                       dtype=jnp.float64)
+                    if lr is not None:
+                        dev, dim_p, embed, extract = lr
+                        v0 = embed(rng.normal(size=dim))
+                        if cfg.ed_precision == "mixed":
+                            dev32 = large.build_real_padded_large(
+                                op, dtype=jnp.float32)[0]
+                            res = lanczos.lanczos_eigh_mixed_real(
+                                large.apply_large_real_flat,
+                                large.apply_large_real_flat, dim_p,
+                                neigen=neigen, ncv=nblock,
+                                maxiter=nitermax * nblock,
+                                tol=cfg.lanc_tolerance, v0=v0,
+                                op32=dev32, op64=dev)
+                        else:
+                            res = lanczos.lanczos_eigh_real(
+                                large.apply_large_real_flat, dim_p,
+                                neigen=neigen, ncv=nblock,
+                                maxiter=nitermax * nblock,
+                                tol=cfg.lanc_tolerance, v0=v0, op=dev)
+                    else:
+                        dev, _r, dim_p, embed, extract = \
+                            large.build_pair_padded_large(
+                                op, dtype=jnp.float64)
+                        v0 = embed(rng.normal(size=dim)
+                                   + 1j * rng.normal(size=dim))
+                        if cfg.ed_precision == "mixed":
+                            dev32 = large.build_pair_padded_large(
+                                op, dtype=jnp.float32)[0]
+                            res = lanczos.lanczos_eigh_mixed(
+                                large.apply_large_pair_flat,
+                                large.apply_large_pair_flat, dim_p,
+                                neigen=neigen, ncv=nblock,
+                                maxiter=nitermax * nblock,
+                                tol=cfg.lanc_tolerance, v0=v0,
+                                op32=dev32, op64=dev)
+                        else:
+                            res = lanczos.lanczos_eigh_split(
+                                large.apply_large_pair_flat, dim_p,
+                                neigen=neigen, ncv=nblock,
+                                maxiter=nitermax * nblock,
+                                tol=cfg.lanc_tolerance, v0=v0, op=dev)
                 res = lanczos.EighResult(
                     res.eigenvalues, extract(res.eigenvectors),
                     res.iterations, res.converged)

@@ -278,16 +278,49 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
         lazily and cached per (sector, kind).  Split kits carry the
         operator as a pytree (passed as an argument to the jitted
         tridiagonalisation, so the compiled kernel is shared across
-        sectors and bath updates)."""
+        sectors and bath updates) and are returned as
+        ``(apply_fn, dev, dim_p, embed, extract)``; factors beyond
+        DENSE_FACTOR_MAX dispatch to the block-sparse large-sector
+        kernels (ops/large.py) instead of the legacy gather closure."""
         key = (jnup, jndw, bool(want_real) and use_split)
         if key not in op_cache:
             if use_split:
+                from .ops import large as large_mod
                 from .ops import split as split_mod
                 op = build(jnup, jndw)
-                op_cache[key] = (
-                    split_mod.build_real_padded(op, dtype=gf_dtype)
-                    if key[2]
-                    else split_mod.build_pair_padded(op, dtype=gf_dtype))
+                is_large = max(op.dim_up, op.dim_dw) \
+                    > split_mod.DENSE_FACTOR_MAX
+                if key[2]:
+                    kit = (large_mod.build_real_padded_large(
+                        op, dtype=gf_dtype) if is_large
+                        else split_mod.build_real_padded(
+                            op, dtype=gf_dtype))
+                    if kit is None:
+                        op_cache[key] = None
+                    else:
+                        # large appliers are pre-batched (batch folded
+                        # into the SpMM width — no vmap over Pallas)
+                        apply_fn = (
+                            large_mod.apply_large_real_flat_batched
+                            if is_large else split_mod.apply_real_flat)
+                        op_cache[key] = (apply_fn,) + kit + (is_large,)
+                else:
+                    if is_large:
+                        dev, realf, dim_p, embed, extract = \
+                            large_mod.build_pair_padded_large(
+                                op, dtype=gf_dtype)
+                        apply_fn = (
+                            large_mod.apply_large_realpair_flat_batched
+                            if realf
+                            else large_mod.apply_large_pair_flat_batched)
+                    else:
+                        dev, realf, dim_p, embed, extract = \
+                            split_mod.build_pair_padded(op,
+                                                        dtype=gf_dtype)
+                        apply_fn = (split_mod.apply_realpair_flat if realf
+                                    else split_mod.apply_pair_flat)
+                    op_cache[key] = (apply_fn, dev, dim_p, embed, extract,
+                                     is_large)
             else:
                 dev = spmv.to_device(build(jnup, jndw))
                 op_cache[key] = spmv.make_matvec(dev)
@@ -329,37 +362,22 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                 nlanc = min(batch.shape[1], cfg.lanc_ngfiter)
                 chain_floor = beta_floor
                 if use_split:
-                    from .ops import split as split_mod
                     real_kit = None
                     if not np.abs(batch.imag).max() > 0.0:
                         real_kit = matvec_for(jnup, jndw, want_real=True)
                     if real_kit is not None:
-                        dev, dim_p, embed, extract = real_kit
+                        app, dev, dim_p, embed, extract, blarge = real_kit
                         alphas, betas, norms = \
                             lanczos.lanczos_tridiag_batched_real(
-                                split_mod.apply_real_flat,
-                                embed(batch.real), nlanc, op=dev,
-                                dtype=gf_dtype)
+                                app, embed(batch.real), nlanc, op=dev,
+                                dtype=gf_dtype, op_batched=blarge)
                     else:
-                        pair_kit = matvec_for(jnup, jndw)
-                        if pair_kit is not None:
-                            dev, realf, dim_p, embed, extract = pair_kit
-                            app = (split_mod.apply_realpair_flat if realf
-                                   else split_mod.apply_pair_flat)
-                            alphas, betas, norms = \
-                                lanczos.lanczos_tridiag_batched_split(
-                                    app, embed(batch), nlanc, op=dev,
-                                    dtype=gf_dtype)
-                        else:
-                            # factors too large for dense: legacy closure
-                            # (always f64 — gf_dtype does not apply here)
-                            mv, dim_p, embed, extract = \
-                                split_mod.make_matvec_pair_padded(
-                                    build(jnup, jndw))
-                            alphas, betas, norms = \
-                                lanczos.lanczos_tridiag_batched_split(
-                                    mv, embed(batch), nlanc)
-                            chain_floor = 1e-16
+                        app, dev, dim_p, embed, extract, blarge = \
+                            matvec_for(jnup, jndw)
+                        alphas, betas, norms = \
+                            lanczos.lanczos_tridiag_batched_split(
+                                app, embed(batch), nlanc, op=dev,
+                                dtype=gf_dtype, op_batched=blarge)
                 else:
                     mv = matvec_for(jnup, jndw)
                     alphas, betas, norms = lanczos.lanczos_tridiag_batched(

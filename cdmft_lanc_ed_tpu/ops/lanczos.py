@@ -125,10 +125,11 @@ def lanczos_tridiag_batched(matvec, v0: jax.Array, niter: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _tridiag_split_run(apply_fn, niter: int):
+def _tridiag_split_run(apply_fn, niter: int, op_batched: bool = False):
     @jax.jit
     def run(op, v0r, v0i):
-        mv = jax.vmap(lambda vr, vi: apply_fn(op, vr, vi))
+        mv = ((lambda vr, vi: apply_fn(op, vr, vi)) if op_batched
+              else jax.vmap(lambda vr, vi: apply_fn(op, vr, vi)))
 
         def step(carry, _):
             pr, pi, vr, vi, beta_prev = carry
@@ -154,12 +155,16 @@ def _tridiag_split_run(apply_fn, niter: int):
 
 
 def lanczos_tridiag_batched_split(matvec_pair, v0: np.ndarray, niter: int,
-                                  op=None, dtype=jnp.float64):
+                                  op=None, dtype=jnp.float64,
+                                  op_batched: bool = False):
     """Split-representation batched tridiagonalisation (TPU path).
 
     v0 : complex host array [B, dim]; ``matvec_pair`` maps one (vr, vi)
     [dim] pair (legacy closure form) or is a pure ``apply(op, vr, vi)``
     with ``op=`` given (kernel shared across sectors/bath updates).
+    ``op_batched=True`` marks ``matvec_pair`` as already batched over the
+    leading axis (e.g. the large-sector kernels that fold the batch into
+    the SpMM width) — no vmap is applied.
     Returns the same host arrays as :func:`lanczos_tridiag_batched`."""
     v0 = np.asarray(v0)
     norms0 = np.linalg.norm(v0, axis=1)
@@ -169,18 +174,20 @@ def lanczos_tridiag_batched_split(matvec_pair, v0: np.ndarray, niter: int,
     v0i = jnp.asarray(np.ascontiguousarray(v0.imag / scale[:, None]),
                       dtype)
     apply_fn, opd, cached = _as_applier(matvec_pair, op)
-    run = (_tridiag_split_run(apply_fn, niter) if cached
-           else _tridiag_split_run.__wrapped__(apply_fn, niter))
+    run = (_tridiag_split_run(apply_fn, niter, op_batched) if cached
+           else _tridiag_split_run.__wrapped__(apply_fn, niter,
+                                               op_batched))
     alphas, betas = run(opd, v0r, v0i)
     return (np.asarray(alphas), np.asarray(betas)[:, : niter - 1],
             norms0)
 
 
 @functools.lru_cache(maxsize=None)
-def _tridiag_real_run(apply_fn, niter: int):
+def _tridiag_real_run(apply_fn, niter: int, op_batched: bool = False):
     @jax.jit
     def run(op, v0n):
-        mv = jax.vmap(lambda v: apply_fn(op, v))
+        mv = ((lambda v: apply_fn(op, v)) if op_batched
+              else jax.vmap(lambda v: apply_fn(op, v)))
 
         def step(carry, _):
             p, v, beta_prev = carry
@@ -202,7 +209,8 @@ def _tridiag_real_run(apply_fn, niter: int):
 
 
 def lanczos_tridiag_batched_real(matvec_real, v0: np.ndarray, niter: int,
-                                 op=None, dtype=jnp.float64):
+                                 op=None, dtype=jnp.float64,
+                                 op_batched: bool = False):
     """Batched tridiagonalisation for a REAL symmetric operator and REAL
     start vectors: one f64 plane instead of two (3x fewer MXU passes than
     the complex kernel; see ops/split.py real fast path).
@@ -217,8 +225,8 @@ def lanczos_tridiag_batched_real(matvec_real, v0: np.ndarray, niter: int,
     scale = np.where(norms0 > 1e-300, norms0, 1.0)
     v0n = jnp.asarray(np.ascontiguousarray(v0 / scale[:, None]), dtype)
     apply_fn, opd, cached = _as_applier(matvec_real, op)
-    run = (_tridiag_real_run(apply_fn, niter) if cached
-           else _tridiag_real_run.__wrapped__(apply_fn, niter))
+    run = (_tridiag_real_run(apply_fn, niter, op_batched) if cached
+           else _tridiag_real_run.__wrapped__(apply_fn, niter, op_batched))
     alphas, betas = run(opd, v0n)
     return (np.asarray(alphas), np.asarray(betas)[:, : niter - 1], norms0)
 

@@ -1,0 +1,190 @@
+"""Large-sector block-sparse SpMM path (ops/large.py).
+
+Correctness vs the NumPy oracle matvec on small sectors (the block-ELL
+machinery is size-independent), real + complex + Jx/Jp, plus kit-level
+round trips and the eigensolver integration used by diag.py when
+max(dim_up, dim_dw) > DENSE_FACTOR_MAX.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cdmft_lanc_ed_tpu import EDConfig
+from cdmft_lanc_ed_tpu.ops import large, lanczos, sector_ham
+
+
+def _hubbard_op(nup, ndw, nbath=1, jh=0.0, complex_h=False):
+    norb = 2 if jh else 1
+    nlat = 2
+    cfg = EDConfig(nlat=nlat, norb=norb, nspin=1, nbath=nbath,
+                   uloc=[2.0] * norb, ust=0.5 if jh else 0.0, jh=jh,
+                   jx=jh, jp=jh, ed_verbose=0)
+    nn = (nlat, nlat, 1, 1, norb, norb)
+    hloc = np.zeros(nn, np.complex128)
+    for o in range(norb):
+        hloc[0, 1, 0, 0, o, o] = -1.0 + (0.3j if complex_h else 0.0)
+        hloc[1, 0, 0, 0, o, o] = np.conj(hloc[0, 1, 0, 0, o, o])
+    hrec = np.zeros((nbath,) + nn, np.complex128)
+    for b in range(nbath):
+        for il in range(nlat):
+            for o in range(norb):
+                hrec[b, il, il, 0, 0, o, o] = -0.4 + 0.8 * b
+    dhyb = np.full((nlat, 1, norb, nbath), 0.45)
+    op = sector_ham.build_sector_operator(cfg, hloc, hrec, dhyb, nup, ndw)
+    return cfg, op
+
+
+@pytest.mark.parametrize("nup,ndw", [(2, 2), (3, 2)])
+def test_large_real_matvec_matches_oracle(nup, ndw):
+    _, op = _hubbard_op(nup, ndw, nbath=2)
+    dev = large.to_device_large_real(op, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=op.dim)
+    kit = large.build_real_padded_large(op, dtype=jnp.float64)
+    dev, dim_p, embed, extract = kit
+    w = extract(np.asarray(
+        large.apply_large_real_flat(dev, jnp.asarray(embed(v)))))
+    np.testing.assert_allclose(
+        w, op.matvec_np(v.astype(np.complex128)).real, rtol=1e-12,
+        atol=1e-12)
+
+
+def test_large_pair_matvec_matches_oracle_complex():
+    _, op = _hubbard_op(2, 2, nbath=1, complex_h=True)
+    assert not large.op_is_real(op)
+    kit = large.build_pair_padded_large(op, dtype=jnp.float64)
+    dev, real, dim_p, embed, extract = kit
+    assert not real
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim)
+    wr, wi = large.apply_large_pair_flat(
+        dev, jnp.asarray(embed(v.real)), jnp.asarray(embed(v.imag)))
+    w = extract(np.asarray(wr)) + 1j * extract(np.asarray(wi))
+    ref = op.matvec_np(v)
+    np.testing.assert_allclose(w, ref, rtol=1e-11, atol=1e-11)
+
+
+def test_large_real_with_jxjp_terms():
+    _, op = _hubbard_op(2, 2, nbath=0, jh=0.3)
+    assert op.nd_terms
+    kit = large.build_real_padded_large(op, dtype=jnp.float64)
+    dev, dim_p, embed, extract = kit
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=op.dim)
+    w = extract(np.asarray(
+        large.apply_large_real_flat(dev, jnp.asarray(embed(v)))))
+    np.testing.assert_allclose(
+        w, op.matvec_np(v.astype(np.complex128)).real, rtol=1e-12,
+        atol=1e-12)
+
+
+def test_large_eigensolver_matches_dense():
+    _, op = _hubbard_op(3, 3, nbath=2)
+    h = op.to_dense()
+    w_ref = np.linalg.eigvalsh(h)
+    kit = large.build_real_padded_large(op, dtype=jnp.float64)
+    dev, dim_p, embed, extract = kit
+    rng = np.random.default_rng(4)
+    v0 = embed(rng.normal(size=op.dim))
+    res = lanczos.lanczos_eigh_real(
+        large.apply_large_real_flat, dim_p, neigen=2, ncv=30,
+        maxiter=600, tol=1e-12, v0=v0, op=dev)
+    np.testing.assert_allclose(np.asarray(res.eigenvalues)[:2], w_ref[:2],
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_large_mixed_precision_eigensolver():
+    _, op = _hubbard_op(3, 3, nbath=2)
+    h = op.to_dense()
+    w_ref = np.linalg.eigvalsh(h)
+    kit32 = large.build_real_padded_large(op, dtype=jnp.float32)
+    kit64 = large.build_real_padded_large(op, dtype=jnp.float64)
+    dev32, dim_p, embed, extract = kit32
+    rng = np.random.default_rng(5)
+    v0 = embed(rng.normal(size=op.dim))
+    res = lanczos.lanczos_eigh_mixed_real(
+        large.apply_large_real_flat, large.apply_large_real_flat, dim_p,
+        neigen=1, ncv=30, maxiter=600, tol=1e-12, v0=v0,
+        op32=dev32, op64=kit64[0])
+    np.testing.assert_allclose(float(res.eigenvalues[0]), w_ref[0],
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_batched_appliers_match_single():
+    _, op = _hubbard_op(2, 2, nbath=1, jh=0.2)
+    kit = large.build_real_padded_large(op, dtype=jnp.float64)
+    dev, dim_p, embed, extract = kit
+    rng = np.random.default_rng(7)
+    xb = jnp.asarray(embed(rng.normal(size=(3, op.dim))))
+    yb = np.asarray(large.apply_large_real_flat_batched(dev, xb))
+    for i in range(3):
+        yi = np.asarray(large.apply_large_real_flat(dev, xb[i]))
+        np.testing.assert_allclose(yb[i], yi, rtol=1e-12, atol=1e-12)
+
+
+def test_batched_pair_applier_matches_single():
+    _, op = _hubbard_op(2, 2, nbath=1, complex_h=True)
+    dev, realf, dim_p, embed, extract = \
+        large.build_pair_padded_large(op, dtype=jnp.float64)
+    rng = np.random.default_rng(8)
+    xr = jnp.asarray(embed(rng.normal(size=(3, op.dim))))
+    xi = jnp.asarray(embed(rng.normal(size=(3, op.dim))))
+    yr, yi = large.apply_large_pair_flat_batched(dev, xr, xi)
+    for i in range(3):
+        sr, si = large.apply_large_pair_flat(dev, xr[i], xi[i])
+        np.testing.assert_allclose(np.asarray(yr)[i], np.asarray(sr),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(yi)[i], np.asarray(si),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_gf_through_large_path_matches_dense_path(tmp_path, monkeypatch):
+    """Force a small problem through the large-sector GF machinery by
+    shrinking DENSE_FACTOR_MAX; Sigma/G must match the dense-factor path."""
+    from cdmft_lanc_ed_tpu import EDSolver
+    from cdmft_lanc_ed_tpu.ops import split
+
+    def run(workdir):
+        cfg = EDConfig(nlat=2, norb=1, nspin=1, nbath=1, uloc=[2.0],
+                       lmats=32, lreal=16, lanc_dim_threshold=4,
+                       ed_verbose=0, work_dir=str(workdir))
+        nn = (2, 2, 1, 1, 1, 1)
+        hloc = np.zeros(nn, np.complex128)
+        hloc[0, 1, 0, 0, 0, 0] = hloc[1, 0, 0, 0, 0, 0] = -1.0
+        basis = np.zeros((1,) + nn, np.complex128)
+        for il in range(2):
+            basis[0, il, il, 0, 0, 0, 0] = 1.0
+        solver = EDSolver(cfg)
+        solver.set_hbath(basis, np.array([[0.3]]))
+        bath = solver.init_solver()
+        solver.solve(bath, hloc)
+        return solver.gf.gmats, solver.gf.smats
+
+    d1 = tmp_path / "dense"
+    d2 = tmp_path / "large"
+    d1.mkdir()
+    d2.mkdir()
+    g_ref, s_ref = run(d1)
+    monkeypatch.setattr(split, "DENSE_FACTOR_MAX", 2)
+    g_l, s_l = run(d2)
+    np.testing.assert_allclose(g_l, g_ref, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(s_l, s_ref, rtol=1e-6, atol=1e-7)
+
+
+def test_blk_spmm_xla_chunked_matches_dense():
+    rng = np.random.default_rng(6)
+    m = 3 * large.B
+    a = np.zeros((m, m))
+    # scattered blocks
+    for (i, j) in [(0, 0), (0, 2), (1, 1), (2, 0), (2, 2)]:
+        a[i * large.B:(i + 1) * large.B, j * large.B:(j + 1) * large.B] = \
+            rng.normal(size=(large.B, large.B))
+    ell = sector_ham._coo_to_ell(m, *np.nonzero(a),
+                                 a[np.nonzero(a)])
+    f = large.block_factor_of(ell, real=True, dtype=np.float64)
+    x = rng.normal(size=(m, 700))     # non-multiple of chunk: pad path
+    y = large._blk_spmm_xla(jnp.asarray(f.row_blk), jnp.asarray(f.col_blk),
+                            jnp.asarray(f.tiles, jnp.float64),
+                            jnp.asarray(x), f.nb, chunk=256)
+    np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-11, atol=1e-11)
