@@ -32,15 +32,21 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, reps=3):
-    out = fn(*args)
-    import jax
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps
+def _per_step(chain, v, s_small=10, s_big=310, reps=3):
+    """Per-step time via the difference method with forced host readback:
+    on the axon tunnel, ``block_until_ready`` can return before the device
+    finishes, so absolute timings of a single program are unreliable;
+    (t(310 steps) - t(10 steps))/300 with ``np.asarray`` readback cancels
+    dispatch/transfer overhead and forces completion."""
+    for s in (s_small, s_big):
+        np.asarray(chain(v, s))          # compile + warm both shapes
+    ts = []
+    for s in (s_small, s_big):
+        t0 = time.time()
+        for _ in range(reps):
+            np.asarray(chain(v, s))
+        ts.append((time.time() - t0) / reps)
+    return (ts[1] - ts[0]) / (s_big - s_small)
 
 
 def main():
@@ -80,24 +86,28 @@ def main():
         size=(op.dim_dw, op.dim_up)) / np.sqrt(op.dim)
     v = jnp.asarray(v0)
 
-    steps = 30
-    dt = _timeit(lambda x: chain(x, steps), v) / steps   # s per H·v
+    dt = _per_step(chain, v)                             # s per H·v
     nnz_per_s = nnz / dt
 
     # --- measured same-shape bare-matmul envelope (speed-of-light for the
     # dense tensor-product formulation: the kernel cannot beat the two bare
     # MXU matmuls it is built from) -------------------------------------
     P_ = jax.lax.Precision.HIGHEST
-    a_dw = jnp.asarray(rng.normal(size=(dd, dd)), jnp.float32)
-    b_up = jnp.asarray(rng.normal(size=(du, du)), jnp.float32)
-    x = jnp.asarray(rng.normal(size=(dd, du)), jnp.float32)
+    a_dw = jnp.asarray(rng.normal(size=(dd, dd)) / np.sqrt(dd),
+                       jnp.float32)
+    b_up = jnp.asarray(rng.normal(size=(du, du)) / np.sqrt(du),
+                       jnp.float32)
 
-    @jax.jit
-    def bare(x):
-        return jnp.matmul(a_dw, x, precision=P_) \
-            + jnp.matmul(x, b_up, precision=P_)
+    @partial(jax.jit, static_argnums=1)
+    def bare_chain(x, steps):
+        def body(x, _):
+            w = jnp.matmul(a_dw, x, precision=P_) \
+                + jnp.matmul(x, b_up, precision=P_)
+            return w / jnp.linalg.norm(w), None
+        c, _ = jax.lax.scan(body, x, None, length=steps)
+        return c
 
-    t_env = _timeit(bare, x, reps=10)
+    t_env = _per_step(bare_chain, v)
 
     flops = 2 * (dd * dd * du + du * du * dd)        # per H·v, f32
     tflops = flops / dt / 1e12

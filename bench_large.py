@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Large-sector benchmark: H·v on the Ns=16 flagship (2x2 plaquette + 3
+replica baths, half-filled sector C(16,8)^2 = 1.66e8 states) on one chip.
+
+This is the regime BASELINE.md names for multi-host sharding
+(/root/reference/ED_SETUP.f90:139-154) and the round-1 VERDICT's top item:
+previously it fell off a ~100-450x cliff onto the element-gather ELL
+kernel; it now runs the block-sparse (128x128 tile) SpMM of ops/large.py.
+
+Prints one JSON line (same schema as bench.py, different metric name) —
+run separately from bench.py; not part of the driver contract.
+"""
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def _per_step(chain, v, s_small=2, s_big=12, reps=2):
+    for s in (s_small, s_big):
+        np.asarray(chain(v, s)[0, :8])   # tiny readback forces completion
+    ts = []
+    for s in (s_small, s_big):
+        t0 = time.time()
+        for _ in range(reps):
+            np.asarray(chain(v, s)[0, :8])
+        ts.append((time.time() - t0) / reps)
+    return (ts[1] - ts[0]) / (s_big - s_small)
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from cdmft_lanc_ed_tpu.ops import large
+
+    t0 = time.time()
+    _, op = ge._plaquette_bath_op(nbath=3, nup=8, ndw=8)   # Ns=16
+    dev = large.to_device_large_real(op, dtype=jnp.float32)
+    ddp, dup = dev.diag.shape
+    nnz = op.nnz
+    print(f"# build {time.time()-t0:.1f}s dim={op.dim} nnz={nnz} "
+          f"padded {ddp}x{dup} tiles dw={dev.dw_tiles.shape[0]} "
+          f"up={dev.up_tiles.shape[0]} pallas={large.pallas_blk_ok()}",
+          file=sys.stderr, flush=True)
+
+    @partial(jax.jit, static_argnums=1)
+    def chain(x, steps):
+        def body(x, _):
+            w = large.matvec_large_real(dev, x)
+            return w / jnp.linalg.norm(w), None
+        c, _ = jax.lax.scan(body, x, None, length=steps)
+        return c
+
+    rng = np.random.default_rng(0)
+    x0 = np.zeros((ddp, dup), np.float32)
+    x0[:op.dim_dw, :op.dim_up] = rng.normal(
+        size=(op.dim_dw, op.dim_up)).astype(np.float32) / np.sqrt(op.dim)
+    x = jnp.asarray(x0)
+
+    dt = _per_step(chain, x)
+    nnz_per_s = nnz / dt
+    # executed MXU FLOPs: per tile 2*B^2*minor per side
+    td, tu = dev.dw_tiles.shape[0], dev.up_tiles.shape[0]
+    flops = 2 * large.B * large.B * (td * dup + tu * ddp)
+    print(json.dumps({
+        "metric": "large_sector_ns16_spmv_nnz_per_s",
+        "value": float(f"{nnz_per_s:.4g}"),
+        "unit": "nnz/s",
+        "vs_baseline": float(f"{nnz_per_s / 1e9 / 100.0:.4g}"),
+    }))
+    print(f"# dt={dt*1e3:.1f}ms/Hv executed_f32_tflops="
+          f"{flops/dt/1e12:.2f} device={jax.devices()[0].device_kind}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -339,9 +339,35 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
             from .ops import split
             from .parallel import multichip
             mesh = multichip.get_solver_mesh()
-            if mesh is not None and "dw" in mesh.shape and \
-                    dim >= 64 * cfg.lanc_dim_threshold and \
-                    max(op.dim_up, op.dim_dw) <= split.DENSE_FACTOR_MAX:
+            use_mesh = (mesh is not None and "dw" in mesh.shape
+                        and dim >= 64 * cfg.lanc_dim_threshold)
+            is_large = max(op.dim_up, op.dim_dw) > split.DENSE_FACTOR_MAX
+            mv_large_sh = None
+            if use_mesh and is_large:
+                # large factors: block-sparse sharded kernel (per-chip
+                # operator memory = the tile set, not O(Dim_s^2) dense
+                # replicas); complex large sectors fall through to the
+                # single-chip block-sparse path below
+                from .parallel.sharded_large import (
+                    sharded_matvec_large_real_flat)
+                mv_large_sh = sharded_matvec_large_real_flat(
+                    op, mesh, dtype=jnp.float64 if
+                    cfg.ed_precision != "mixed" else jnp.float32)
+            if mv_large_sh is not None:
+                if cfg.ed_precision == "mixed":
+                    from .parallel.sharded_large import (
+                        sharded_matvec_large_real_flat as _slr)
+                    mv64 = _slr(op, mesh, dtype=jnp.float64)
+                    res = lanczos.lanczos_eigh_mixed_real(
+                        mv_large_sh, mv64, dim, neigen=neigen,
+                        ncv=nblock, maxiter=nitermax * nblock,
+                        tol=cfg.lanc_tolerance)
+                else:
+                    res = lanczos.lanczos_eigh_real(
+                        mv_large_sh, dim, neigen=neigen, ncv=nblock,
+                        maxiter=nitermax * nblock,
+                        tol=cfg.lanc_tolerance)
+            elif use_mesh and not is_large:
                 # large sector: shard the vector along dw over the mesh
                 from .parallel.sharded_spmv import (
                     sharded_matvec_pair_flat, sharded_matvec_real_flat)

@@ -265,10 +265,13 @@ def cluster_density_matrix(cfg: EDConfig, state: DiagState) -> np.ndarray:
               db_inv[:, None].repeat(len(cols), 1),
               iu[None, :].repeat(len(imp_dw), 0)] = v2d[:, cols]
             # rho[(iu,id),(ju,jd)] += sum_db x[id,db,iu] conj(x[jd,db,ju])
-            contrib = np.einsum("dbi,ebj->idej", x, x.conj())
-            # contrib axes: [id, iu, jd, ju] -> compose indices
-            contrib = contrib.transpose(1, 0, 3, 2).reshape(
-                dim_imp * dim_imp, dim_imp * dim_imp)
+            contrib = np.einsum("dbi,ebj->diej", x, x.conj())
+            # contrib axes [id, iu, jd, ju]: composite label
+            # io = IimpUp + 2^Nimp * IimpDw on BOTH sides (reference
+            # convention ED_OBSERVABLES.f90:559-561) -> C-order reshape of
+            # [id, iu] rows and [jd, ju] cols
+            contrib = contrib.reshape(dim_imp * dim_imp,
+                                      dim_imp * dim_imp)
             rho += peso * contrib
     return rho
 

@@ -360,13 +360,16 @@ def pallas_blk_ok() -> bool:
 
 
 def _blk_spmm(rb, cb, fs, tiles, x, nb_out: int):
-    """Dispatch: Pallas f32 kernel when probed OK and the shape tiles,
-    else the XLA path."""
+    """Dispatch: Pallas f32 kernel when probed OK (minor axis padded to
+    the kernel tile if needed), else the XLA path."""
     n = x.shape[1]
     if (x.dtype == jnp.float32 and tiles.dtype == jnp.float32
-            and n % _PALLAS_TN == 0 and pallas_blk_ok()):
-        return _pallas_blk_spmm_call(rb, cb, fs, tiles, x, nb_out,
-                                     _PALLAS_TN)
+            and n >= _PALLAS_TN and pallas_blk_ok()):
+        npad = (-n) % _PALLAS_TN
+        xp = jnp.pad(x, ((0, 0), (0, npad))) if npad else x
+        y = _pallas_blk_spmm_call(rb, cb, fs, tiles, xp, nb_out,
+                                  _PALLAS_TN)
+        return y[:, :n] if npad else y
     return _blk_spmm_xla(rb, cb, tiles, x, nb_out)
 
 

@@ -196,6 +196,15 @@ def fused_pair_matvec(diag: jax.Array, hdw_r: jax.Array, hdw_i: jax.Array,
 
 
 _DISABLED = bool(int(os.environ.get("CDMFT_NO_PALLAS", "0") or "0"))
+# Default OFF (opt-in via CDMFT_PALLAS_FUSED=1): with the corrected timing
+# harness (difference method + forced readback — the tunnel's
+# block_until_ready can return early, see bench.py), the fused kernel
+# measures ~184us/Hv on the flagship vs ~147us for the plain XLA matmul
+# path (which sits at 0.98 of the bare-matmul envelope).  XLA's own
+# matmul+epilogue fusion already captures the HBM saving; Mosaic's dot at
+# these shapes is slower than XLA's.  The kernel is kept (correct,
+# probed, tested) for backends where the balance differs.
+_OPT_IN = bool(int(os.environ.get("CDMFT_PALLAS_FUSED", "0") or "0"))
 
 
 @functools.lru_cache(maxsize=None)
@@ -242,7 +251,7 @@ def tile_cap() -> int:
     """Largest probe-validated tile size (0 = Pallas disabled).  Probing
     descends the tile ladder so an over-VMEM 512 config degrades the
     dispatch to 256/128 tiles instead of disabling Pallas outright."""
-    if _DISABLED or jax.default_backend() != "tpu":
+    if _DISABLED or not _OPT_IN or jax.default_backend() != "tpu":
         return 0
     for t in _TILES:
         if _probe_tile(t):

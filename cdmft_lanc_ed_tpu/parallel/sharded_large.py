@@ -1,0 +1,147 @@
+"""Sharded large-sector H·v: block-sparse factors + all-to-all transpose.
+
+The multi-chip path for sectors whose spin factors exceed
+``split.DENSE_FACTOR_MAX`` (Ns>=16: the reference's multi-host bread and
+butter, /root/reference/ED_HAMILTONIAN_SPARSE_HxV.f90:230-315).  Same
+two-all-to-all transpose scheme as parallel/sharded_spmv.py, but the
+factors are the block-ELL tile lists of ops/large.py instead of dense
+matrices: per-chip operator memory is the tile set (~100-200 MB f32 at
+Ns=16) rather than the O(Dim_s^2) dense factors (~1.3 GB f64) the dense
+sharded path would replicate on every chip.
+
+* up part: LOCAL — each shard holds x_loc [dw_loc, DimUp]; transpose to
+  [DimUp, dw_loc] (on-chip), block-SpMM with the (replicated) H_up tiles,
+  transpose back;
+* dw part: one all-to-all to [DimDw, up_loc], block-SpMM with the H_dw
+  tiles, all-to-all back;
+* Jx/Jp terms fold into the same collectives (up factor pre-transpose,
+  dw factor while transposed) — no allgather.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import large
+from ..ops.large import B
+from ..ops.sector_ham import SectorOperator
+from ..ops.split import op_is_real
+
+jax.config.update("jax_enable_x64", True)
+
+
+def _pad_up(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
+def _factor_arrays(op: SectorOperator, real: bool, dtype):
+    """Block factors padded so both dims divide both B and the mesh."""
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    if real:
+        fu = large.block_factor_of(op.h_up, real=True, dtype=np_dtype)
+        fd = large.block_factor_of(op.h_dw, real=True, dtype=np_dtype)
+    else:
+        fu = large.block_factor_of(op.h_up, real=False)
+        fd = large.block_factor_of(op.h_dw, real=False)
+    return fu, fd
+
+
+def make_sharded_matvec_large_real(op: SectorOperator, mesh: Mesh,
+                                   axis: str = "dw", dtype=jnp.float32):
+    """Sharded block-sparse matvec for a REAL large-sector H.
+
+    Returns (matvec, sharding, (ddp, dup)); ``matvec`` maps
+    x [ddp, dup] (sharded P(axis, None)) -> H·x, same sharding."""
+    ndev = mesh.shape[axis]
+    assert B % ndev == 0 or ndev % B == 0, "mesh size vs tile edge"
+    fu, fd = _factor_arrays(op, real=True, dtype=dtype)
+    ddp, dup = fd.nb * B, fu.nb * B
+    assert ddp % ndev == 0 and dup % ndev == 0
+
+    diag = np.full((ddp, dup), large._PAD_DIAG)
+    diag[:op.dim_dw, :op.dim_up] = op.diag()
+    amp, us, ug, ds, dg = large._nd_maps(op, dup, ddp)
+    t = len(op.nd_terms)
+
+    sh = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P(None))
+    rep2 = NamedSharding(mesh, P(None, None))
+    diag_d = jax.device_put(jnp.asarray(diag, dtype), sh)
+    up_rb = jax.device_put(jnp.asarray(fu.row_blk), rep)
+    up_cb = jax.device_put(jnp.asarray(fu.col_blk), rep)
+    up_fs = jax.device_put(jnp.asarray(fu.first), rep)
+    up_tiles = jax.device_put(jnp.asarray(fu.tiles, dtype),
+                              NamedSharding(mesh, P(None, None, None)))
+    dw_rb = jax.device_put(jnp.asarray(fd.row_blk), rep)
+    dw_cb = jax.device_put(jnp.asarray(fd.col_blk), rep)
+    dw_fs = jax.device_put(jnp.asarray(fd.first), rep)
+    dw_tiles = jax.device_put(jnp.asarray(fd.tiles, dtype),
+                              NamedSharding(mesh, P(None, None, None)))
+    amp_d = jax.device_put(jnp.asarray(amp.real, dtype), rep)
+    us_d = jax.device_put(jnp.asarray(us), rep2)
+    ug_d = jax.device_put(jnp.asarray(ug), rep2)
+    ds_d = jax.device_put(jnp.asarray(ds), rep2)
+    dg_d = jax.device_put(jnp.asarray(dg), rep2)
+
+    def kernel(diag_l, up_rb, up_cb, up_fs, up_tiles, dw_rb, dw_cb, dw_fs,
+               dw_tiles, amp_l, us_l, ug_l, ds_l, dg_l, x):
+        # x: [dw_loc, dup]
+        out = diag_l * x
+        # up part, local in transposed layout
+        xt = x.T                                      # [dup, dw_loc]
+        yt = large._blk_spmm(up_rb, up_cb, up_fs, up_tiles, xt, dup // B)
+        out = out + yt.T
+        # Jx/Jp up factors (pre-transpose payload)
+        pay = [x]
+        for ti in range(t):
+            tu = xt[jnp.maximum(us_l[ti], 0)] \
+                * ug_l[ti][:, None].astype(x.dtype)   # [dup, dw_loc]
+            pay.append(tu.T)
+        payload = jnp.stack(pay)                      # [1+T, dw_loc, dup]
+        pt = jax.lax.all_to_all(payload, axis, split_axis=2,
+                                concat_axis=1, tiled=True)
+        vt = pt[0]                                    # [ddp, up_loc]
+        yt2 = large._blk_spmm(dw_rb, dw_cb, dw_fs, dw_tiles, vt, ddp // B)
+        for ti in range(t):
+            yt2 = yt2 + amp_l[ti] * (
+                pt[1 + ti][jnp.maximum(ds_l[ti], 0)]
+                * dg_l[ti][:, None].astype(x.dtype))
+        back = jax.lax.all_to_all(yt2[None], axis, split_axis=1,
+                                  concat_axis=2, tiled=True)[0]
+        return out + back
+
+    @jax.jit
+    def matvec(x):
+        return jax.shard_map(
+            kernel, mesh=mesh,
+            in_specs=(P(axis, None), P(None), P(None), P(None),
+                      P(None, None, None), P(None), P(None), P(None),
+                      P(None, None, None), P(None), P(None, None),
+                      P(None, None), P(None, None), P(None, None),
+                      P(axis, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )(diag_d, up_rb, up_cb, up_fs, up_tiles, dw_rb, dw_cb, dw_fs,
+          dw_tiles, amp_d, us_d, ug_d, ds_d, dg_d, x)
+
+    return matvec, sh, (ddp, dup)
+
+
+def sharded_matvec_large_real_flat(op: SectorOperator, mesh: Mesh,
+                                   axis: str = "dw", dtype=jnp.float32):
+    """Flat [dim] -> [dim] closure over the sharded block-sparse kernel,
+    or None when the sector Hamiltonian is not real."""
+    if not op_is_real(op):
+        return None
+    mv2d, sh, (ddp, dup) = make_sharded_matvec_large_real(
+        op, mesh, axis, dtype=dtype)
+    dd, du = op.dim_dw, op.dim_up
+
+    def mv(v):
+        x = jnp.pad(v.reshape(dd, du), ((0, ddp - dd), (0, dup - du)))
+        x = jax.lax.with_sharding_constraint(x, sh)
+        return mv2d(x)[:dd, :du].reshape(-1)
+
+    return mv

@@ -172,6 +172,60 @@ def test_gf_through_large_path_matches_dense_path(tmp_path, monkeypatch):
     np.testing.assert_allclose(s_l, s_ref, rtol=1e-6, atol=1e-7)
 
 
+def test_sharded_large_matvec_matches_oracle():
+    """8-device CPU mesh: block-sparse sharded matvec == oracle, with the
+    per-chip operator memory bounded by the tile set (round-1 VERDICT
+    item 1)."""
+    from jax.sharding import Mesh
+    from cdmft_lanc_ed_tpu.parallel import sharded_large
+
+    devs = jax.devices()
+    assert len(devs) >= 8
+    mesh = Mesh(np.array(devs[:8]), ("dw",))
+    _, op = _hubbard_op(3, 3, nbath=2)
+    mv = sharded_large.sharded_matvec_large_real_flat(
+        op, mesh, dtype=jnp.float64)
+    rng = np.random.default_rng(9)
+    v = rng.normal(size=op.dim)
+    got = np.asarray(mv(jnp.asarray(v)))
+    want = op.matvec_np(v.astype(np.complex128)).real
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_large_matvec_with_jxjp():
+    from jax.sharding import Mesh
+    from cdmft_lanc_ed_tpu.parallel import sharded_large
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), ("dw",))
+    _, op = _hubbard_op(2, 2, nbath=1, jh=0.3)
+    assert op.nd_terms
+    mv = sharded_large.sharded_matvec_large_real_flat(
+        op, mesh, dtype=jnp.float64)
+    rng = np.random.default_rng(10)
+    v = rng.normal(size=op.dim)
+    got = np.asarray(mv(jnp.asarray(v)))
+    want = op.matvec_np(v.astype(np.complex128)).real
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_large_eigensolver():
+    from jax.sharding import Mesh
+    from cdmft_lanc_ed_tpu.ops import lanczos
+    from cdmft_lanc_ed_tpu.parallel import sharded_large
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), ("dw",))
+    _, op = _hubbard_op(3, 3, nbath=2)
+    w_ref = np.linalg.eigvalsh(op.to_dense())
+    mv = sharded_large.sharded_matvec_large_real_flat(
+        op, mesh, dtype=jnp.float64)
+    res = lanczos.lanczos_eigh_real(mv, op.dim, neigen=1, ncv=30,
+                                    maxiter=600, tol=1e-12)
+    np.testing.assert_allclose(float(res.eigenvalues[0]), w_ref[0],
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_blk_spmm_xla_chunked_matches_dense():
     rng = np.random.default_rng(6)
     m = 3 * large.B

@@ -1,0 +1,147 @@
+"""Regression tests pinned to literature / exact-analytic values.
+
+Round-1 VERDICT item 5: all round-1 oracles were self-built; these anchors
+are EXTERNAL — closed-form solutions and published constants, hard-coded:
+
+* two-site Hubbard dimer ground-state energy (exact solution, standard
+  textbook result; e.g. Harris & Lange, Phys. Rev. 157, 295 (1967)),
+* Hubbard-atom self-energy Sigma(iw_n) = U^2/(4 iw_n) at particle-hole
+  symmetry (exact; the canonical atomic-limit formula),
+* half-filled 2D square-lattice tight-binding kinetic energy per site
+  -16t/pi^2 and 1D chain -4t/pi (exact band-structure integrals),
+* the single-site reduced density matrix structure
+  diag(1-n_up-n_dw+D, n_up-D, n_dw-D, D) of Su, Dai & Tong, Mod. Phys.
+  Lett. B 27, 1350034 (2013) (/root/reference/README.md:50; the reference
+  driver checks the same relation, drivers/cdn_hm_2dsquare.f90:443-464),
+* Chern-number quantization and the |u| = 2 topological transition of the
+  BHZ / Qi-Wu-Zhang lattice model (Bernevig, Hughes & Zhang, Science 314,
+  1757 (2006); Qi, Wu & Zhang, PRB 74, 085308 (2006)) —
+  /root/reference/README.md:34 milestone.
+"""
+import numpy as np
+import pytest
+
+from cdmft_lanc_ed_tpu import EDConfig, EDSolver
+
+
+def _solve(cfg, hloc):
+    s = EDSolver(cfg)
+    bath = s.init_solver()
+    s.solve(bath, hloc)
+    return s
+
+
+def test_hubbard_dimer_exact_gs_energy(tmp_path):
+    """Half-filled two-site Hubbard at particle-hole symmetry:
+    E0 = -sqrt((U/2)^2 + 4 t^2)  (exact; U=4, t=1 -> -2.8284271247)."""
+    u, t = 4.0, 1.0
+    cfg = EDConfig(nlat=2, norb=1, nspin=1, nbath=0, uloc=[u],
+                   lmats=16, lreal=8, ed_verbose=0,
+                   work_dir=str(tmp_path))
+    nn = (2, 2, 1, 1, 1, 1)
+    hloc = np.zeros(nn, np.complex128)
+    hloc[0, 1, 0, 0, 0, 0] = hloc[1, 0, 0, 0, 0, 0] = -t
+    s = _solve(cfg, hloc)
+    e_exact = -np.sqrt((u / 2) ** 2 + 4 * t ** 2)
+    assert abs(s.egs - e_exact) < 1e-8
+    # half filling by PHS
+    np.testing.assert_allclose(s.dens().sum(), 2.0, atol=1e-8)
+
+
+def test_hubbard_atom_self_energy(tmp_path):
+    """Atomic limit at PHS: Sigma(iw_n) = U^2 / (4 iw_n) exactly."""
+    u = 3.0
+    cfg = EDConfig(nlat=1, norb=1, nspin=1, nbath=0, uloc=[u],
+                   lmats=64, lreal=8, ed_verbose=0,
+                   work_dir=str(tmp_path))
+    hloc = np.zeros((1, 1, 1, 1, 1, 1), np.complex128)
+    s = _solve(cfg, hloc)
+    wm = np.pi / cfg.beta * (2 * np.arange(cfg.lmats) + 1)
+    sig = s.sigma_matsubara()[0, 0, 0, 0, 0, 0]
+    exact = u ** 2 / (4 * 1j * wm)
+    np.testing.assert_allclose(sig, exact, rtol=1e-6, atol=1e-8)
+
+
+def test_square_lattice_kinetic_energy():
+    """U=0 half-filled 2D square lattice: E_kin/site = -16 t / pi^2
+    = -1.62113894 (exact band integral)."""
+    from cdmft_lanc_ed_tpu.lattice import dmft_kinetic_energy
+    cfg = EDConfig(nlat=1, norb=1, nspin=1, nbath=0, uloc=[0.0],
+                   beta=2000.0, lmats=64, ed_verbose=0)
+    nk = 128
+    k = 2 * np.pi * np.arange(nk) / nk
+    kx, ky = np.meshgrid(k, k, indexing="ij")
+    eps = -2.0 * (np.cos(kx) + np.cos(ky))
+    hk = eps.reshape(-1, 1, 1).astype(np.complex128)
+    smats = np.zeros((1, 1, 1, 1, 1, 1, cfg.lmats), np.complex128)
+    ekin = dmft_kinetic_energy(cfg, hk, smats)
+    assert abs(ekin - (-16 / np.pi ** 2)) < 2e-3
+
+
+def test_chain_kinetic_energy():
+    """U=0 half-filled 1D chain: E_kin/site = -4 t / pi = -1.27323954."""
+    from cdmft_lanc_ed_tpu.lattice import dmft_kinetic_energy
+    cfg = EDConfig(nlat=1, norb=1, nspin=1, nbath=0, uloc=[0.0],
+                   beta=2000.0, lmats=64, ed_verbose=0)
+    nk = 4096
+    k = 2 * np.pi * np.arange(nk) / nk
+    hk = (-2.0 * np.cos(k)).reshape(-1, 1, 1).astype(np.complex128)
+    smats = np.zeros((1, 1, 1, 1, 1, 1, cfg.lmats), np.complex128)
+    ekin = dmft_kinetic_energy(cfg, hk, smats)
+    assert abs(ekin - (-4 / np.pi)) < 2e-3
+
+
+def test_su_dai_tong_single_site_rdm(tmp_path):
+    """Single-site RDM of a correlated cluster state is
+    diag(1-n_up-n_dw+D, n_up-D, n_dw-D, D) in the local Fock basis
+    (Su, Dai, Tong 2013; reference milestone README.md:50)."""
+    cfg = EDConfig(nlat=2, norb=1, nspin=1, nbath=1, uloc=[4.0],
+                   lmats=16, lreal=8, dm_flag=True, ed_verbose=0,
+                   work_dir=str(tmp_path))
+    nn = (2, 2, 1, 1, 1, 1)
+    hloc = np.zeros(nn, np.complex128)
+    hloc[0, 1, 0, 0, 0, 0] = hloc[1, 0, 0, 0, 0, 0] = -1.0
+    s = EDSolver(cfg)
+    basis = np.zeros((1,) + nn, np.complex128)
+    for il in range(2):
+        basis[0, il, il, 0, 0, 0, 0] = 1.0
+    s.set_hbath(basis, np.array([[0.25]]))
+    bath = s.init_solver()
+    s.solve(bath, hloc)
+    mask = np.zeros((2, 1), bool)
+    mask[0, 0] = True
+    rho1 = s.reduced_dm(mask)
+    n_up = float(s.obs.dens_up[0, 0])
+    n_dw = float(s.obs.dens_dw[0, 0])
+    d = float(s.obs.docc[0, 0])
+    expect = np.diag([1 - n_up - n_dw + d, n_up - d, n_dw - d, d])
+    np.testing.assert_allclose(rho1, expect, atol=1e-8)
+    assert abs(np.trace(rho1) - 1.0) < 1e-10
+
+
+def test_bhz_chern_transition():
+    """Qi-Wu-Zhang/BHZ block h(k) = sin kx s_x + sin ky s_y
+    + (u + cos kx + cos ky) s_z: Chern number of the lower band is +1 for
+    0 < u < 2 regime (here C(u=-1) = -1 in this sign convention ... pinned
+    numerically below) and 0 for |u| > 2, with the transition at |u| = 2
+    (BHZ 2006; QWZ 2006)."""
+    from cdmft_lanc_ed_tpu.postprocess import chern_number
+    sx = np.array([[0, 1], [1, 0]], complex)
+    sy = np.array([[0, -1j], [1j, 0]], complex)
+    sz = np.array([[1, 0], [0, -1]], complex)
+
+    def h_of(u):
+        def h(k):
+            kx, ky = k
+            return (np.sin(kx) * sx + np.sin(ky) * sy
+                    + (u + np.cos(kx) + np.cos(ky)) * sz)
+        return h
+
+    rec = 2 * np.pi * np.eye(2)
+    c_topo = chern_number(h_of(-1.0), rec, 24, [0])
+    c_triv = chern_number(h_of(-3.0), rec, 24, [0])
+    c_topo2 = chern_number(h_of(1.0), rec, 24, [0])
+    assert abs(abs(c_topo) - 1.0) < 1e-6     # topological: |C| = 1
+    assert abs(c_triv) < 1e-6                # trivial beyond |u| = 2
+    assert abs(abs(c_topo2) - 1.0) < 1e-6
+    assert abs(c_topo + c_topo2) < 1e-6      # C flips sign across u = 0
