@@ -47,13 +47,19 @@ def main():
           f"up={dev.up_tiles.shape[0]} pallas={large.pallas_blk_ok()}",
           file=sys.stderr, flush=True)
 
-    @partial(jax.jit, static_argnums=1)
-    def chain(x, steps):
+    # operator passed as a pytree ARGUMENT: closure-captured device arrays
+    # are baked into the HLO as constants (a 668 MB diag overflows the
+    # remote-compile request on this backend)
+    @partial(jax.jit, static_argnums=2)
+    def chain_op(d, x, steps):
         def body(x, _):
-            w = large.matvec_large_real(dev, x)
+            w = large.matvec_large_real(d, x)
             return w / jnp.linalg.norm(w), None
         c, _ = jax.lax.scan(body, x, None, length=steps)
         return c
+
+    def chain(x, steps):
+        return chain_op(dev, x, steps)
 
     rng = np.random.default_rng(0)
     x0 = np.zeros((ddp, dup), np.float32)
