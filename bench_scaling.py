@@ -23,9 +23,17 @@ def main():
     ap.add_argument("--nup", type=int, default=6)
     ap.add_argument("--ndw", type=int, default=6)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--overlap", type=int, default=0,
+                    help="chunk the transpose payload into N independent "
+                         "a2a->matmul->a2a chains (comm/compute overlap)")
     args = ap.parse_args()
 
+    import os
     import jax
+    # honour JAX_PLATFORMS=cpu even when the session pre-pins another
+    # platform via sitecustomize (same trick as tests/conftest.py)
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from jax.sharding import Mesh
@@ -48,7 +56,7 @@ def main():
             v = jnp.asarray(embed(rng.normal(size=op.dim)))
         else:
             mesh = Mesh(np.asarray(devices[:n]), ("dw",))
-            mv = sharded_matvec_real_flat(op, mesh)
+            mv = sharded_matvec_real_flat(op, mesh, overlap=args.overlap)
             v = jnp.asarray(rng.normal(size=op.dim))
 
         @jax.jit

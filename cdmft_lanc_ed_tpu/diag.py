@@ -440,6 +440,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                     if lr is not None:
                         dev, dim_p, embed, extract = lr
                         v0 = embed(rng.normal(size=dim))
+                        # eigenvectors stay DEVICE-resident for large
+                        # sectors (no O(neigen*dim) host round trip)
                         if cfg.ed_precision == "mixed":
                             dev32 = large.build_real_padded_large(
                                 op, dtype=jnp.float32)[0]
@@ -449,13 +451,15 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 neigen=neigen, ncv=nblock,
                                 maxiter=nitermax * nblock,
                                 tol=cfg.lanc_tolerance, v0=v0,
-                                op32=dev32, op64=dev)
+                                op32=dev32, op64=dev,
+                                device_vectors=True)
                         else:
                             res = lanczos.lanczos_eigh_real(
                                 large.apply_large_real_flat, dim_p,
                                 neigen=neigen, ncv=nblock,
                                 maxiter=nitermax * nblock,
-                                tol=cfg.lanc_tolerance, v0=v0, op=dev)
+                                tol=cfg.lanc_tolerance, v0=v0, op=dev,
+                                device_vectors=True)
                     else:
                         dev, _r, dim_p, embed, extract = \
                             large.build_pair_padded_large(

@@ -51,6 +51,35 @@ def _prob_and_occs(cfg: EDConfig, st, ns: int):
     return v2d, prob, n_up, n_dw, states_up, states_dw
 
 
+def _obs_reductions_device(v2d, n_up, n_dw, sz_up, sz_dw):
+    """All observable contractions for one DEVICE-resident real state:
+    the full |psi|^2 never leaves HBM, only the Nimp/Nlat-sized results
+    do (round-1 VERDICT item 8; the reference gathers the full vector to
+    master and loops, ED_OBSERVABLES.f90:94-236)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def go(v2d, n_up, n_dw, sz_up, sz_dw):
+        prob = v2d * v2d                          # real states
+        pu_m = prob.sum(axis=0)                   # [DimUp]
+        pd_m = prob.sum(axis=1)                   # [DimDw]
+        pu = pu_m @ n_up
+        pd = pd_m @ n_dw
+        cross = n_dw.T @ (prob @ n_up)
+        uu = jnp.einsum("u,ua,ub->ab", pu_m, n_up, n_up)
+        dd = jnp.einsum("d,da,db->ab", pd_m, n_dw, n_dw)
+        # s2tot per site: <(a_u + b_d)^2> with a = sz_up[:,il], b = sz_dw
+        t1 = pu_m @ (sz_up * sz_up)
+        t2 = 2.0 * ((prob @ sz_up) * sz_dw).sum(axis=0)
+        t3 = pd_m @ (sz_dw * sz_dw)
+        return pu, pd, cross, uu, dd, t1 + t2 + t3
+
+    out = go(v2d, jnp.asarray(n_up), jnp.asarray(n_dw),
+             jnp.asarray(sz_up), jnp.asarray(sz_dw))
+    return tuple(np.asarray(x) for x in out)
+
+
 # ---------------------------------------------------------------------------
 # local observables (lanc_observables, ED_OBSERVABLES.f90:94-236)
 # ---------------------------------------------------------------------------

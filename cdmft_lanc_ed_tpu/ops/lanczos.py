@@ -291,7 +291,7 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
                       maxiter: int = 512, tol: float = 1e-14,
                       v0: Optional[np.ndarray] = None,
                       seed: int = 8527, dtype=jnp.float64,
-                      op=None) -> EighResult:
+                      op=None, device_vectors: bool = False) -> EighResult:
     """Thick-restart Lanczos for a REAL symmetric operator with a real
     start vector: the whole Krylov iteration stays real (eigenvectors of a
     real symmetric H can always be chosen real), halving memory and
@@ -341,6 +341,16 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
         conv = resid[:neigen] <= tol * np.maximum(np.abs(theta[:neigen]), 1.0)
         if bool(conv.all()) or nmv >= maxiter or ncv >= dim:
             sj = jnp.asarray(np.ascontiguousarray(s[:, :neigen]))
+            if device_vectors:
+                # large sectors: keep the Ritz vectors DEVICE-resident
+                # (no O(neigen*dim) host round-trip; the reference keeps
+                # eigenvectors distributed, ED_EIGENSPACE.f90:499-569)
+                vecs_d = restart_basis(basis, sj)
+                nrm_d = jnp.linalg.norm(vecs_d, axis=1, keepdims=True)
+                vecs_d = (vecs_d / jnp.maximum(nrm_d, 1e-300)) \
+                    .astype(jnp.float64)
+                return EighResult(theta[:neigen].copy(), vecs_d, nmv,
+                                  bool(conv.all()))
             vecs = np.asarray(restart_basis(basis, sj))
             nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
             vecs = vecs / np.maximum(nrm, 1e-300)
@@ -656,30 +666,64 @@ def rayleigh_refine_real(matvec_real64, vecs: np.ndarray, neigen: int):
     return theta[:neigen], new_vecs[:neigen], resid[:neigen]
 
 
+def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
+                                op64=None):
+    """Device-resident Rayleigh-Ritz refine: ``vecs`` [k, dim] stays on
+    device throughout (Gram-Cholesky orthonormalisation + k matvecs, all
+    MXU matmuls); only k x k pieces touch the host.  Returns
+    (theta [ne], new_vecs [ne, dim] DEVICE, resid [ne])."""
+    apply_fn, opd, _ = _as_applier(matvec_real64, op64)
+    v = jnp.asarray(vecs, jnp.float64)                 # [k, dim]
+    k = v.shape[0]
+    g = np.asarray(v @ v.T)
+    ell = np.linalg.cholesky(0.5 * (g + g.T)
+                             + 1e-14 * np.eye(k) * max(np.trace(g) / k, 1))
+    q = jnp.linalg.solve(jnp.asarray(ell), v)          # orthonormal rows
+    w = jnp.stack([apply_fn(opd, q[j]) for j in range(k)])
+    hk = np.asarray(q @ w.T)
+    hk = 0.5 * (hk + hk.T)
+    theta, s = np.linalg.eigh(hk)
+    s_d = jnp.asarray(s)                               # [k, k]
+    new_vecs = (s_d.T @ q)                             # [k, dim] device
+    resid = np.asarray(jnp.linalg.norm(
+        s_d.T @ w - new_vecs * jnp.asarray(theta)[:, None], axis=1))
+    return theta[:neigen], new_vecs[:neigen], resid[:neigen]
+
+
 def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
                             neigen: int, ncv: int, maxiter: int = 512,
                             tol: float = 1e-14,
                             v0: Optional[np.ndarray] = None,
                             seed: int = 8527, op32=None,
-                            op64=None) -> EighResult:
+                            op64=None,
+                            device_vectors: bool = False) -> EighResult:
     """Mixed-precision real-plane eigensolver (see
     :func:`lanczos_eigh_mixed`).  ``op32``/``op64`` select the pure
-    apply(op, x) form for the two precisions."""
+    apply(op, x) form for the two precisions; ``device_vectors`` keeps the
+    Krylov output and the refined Ritz vectors device-resident (large
+    sectors)."""
     f32_tol = max(tol, 2e-6)
     res32 = lanczos_eigh_real(matvec_real32, dim, neigen=neigen, ncv=ncv,
                               maxiter=maxiter, tol=f32_tol, v0=v0,
-                              seed=seed, dtype=jnp.float32, op=op32)
-    mv64 = (matvec_real64 if op64 is None
-            else (lambda x: matvec_real64(op64, x)))
-    theta, vecs, resid = rayleigh_refine_real(mv64,
-                                              res32.eigenvectors, neigen)
+                              seed=seed, dtype=jnp.float32, op=op32,
+                              device_vectors=device_vectors)
+    if device_vectors:
+        theta, vecs, resid = rayleigh_refine_real_device(
+            matvec_real64, res32.eigenvectors, neigen, op64=op64)
+    else:
+        mv64 = (matvec_real64 if op64 is None
+                else (lambda x: matvec_real64(op64, x)))
+        theta, vecs, resid = rayleigh_refine_real(
+            mv64, res32.eigenvectors, neigen)
     nmv = res32.iterations + len(res32.eigenvectors)
     ok = np.all(resid <= np.sqrt(max(tol, 1e-15))
                 * np.maximum(np.abs(theta), 1.0))
     if not ok:
+        v0_64 = np.asarray(vecs[0])
         res64 = lanczos_eigh_real(matvec_real64, dim, neigen=neigen,
                                   ncv=ncv, maxiter=maxiter, tol=tol,
-                                  v0=vecs[0], seed=seed, op=op64)
+                                  v0=v0_64, seed=seed, op=op64,
+                                  device_vectors=device_vectors)
         return EighResult(res64.eigenvalues, res64.eigenvectors,
                           nmv + res64.iterations, res64.converged)
     return EighResult(theta, vecs, nmv, True)

@@ -311,12 +311,14 @@ def _pallas_blk_spmm_call(rb, cb, fs, tiles, x, nb_out: int, tn: int):
         o_ref[:] += jnp.dot(tile_ref[0], x_ref[:],
                             preferred_element_type=jnp.float32)
 
+    # literal 0s in an index_map lower as i64 and fail Mosaic
+    # legalization on this backend; derive them from the traced id
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nj, t),
         in_specs=[
             pl.BlockSpec((1, B, B), lambda j, ti, rb_, cb_, fs_:
-                         (ti, 0, 0)),
+                         (ti, ti - ti, ti - ti)),
             pl.BlockSpec((B, tn), lambda j, ti, rb_, cb_, fs_:
                          (cb_[ti], j)),
         ],
@@ -456,6 +458,25 @@ def apply_large_pair_flat(dev: LargePairOp, xr: jax.Array, xi: jax.Array):
 # kits (same interface as split.build_real_padded / build_pair_padded)
 # ---------------------------------------------------------------------------
 
+def _embed_any(v, dd, du, ddp, dup):
+    """Pad a flat [*, dd*du] array to [*, ddp*dup]; device arrays stay on
+    device (no host round-trip for large-sector vectors)."""
+    if isinstance(v, jax.Array):
+        lead = v.shape[:-1]
+        v2 = v.reshape(lead + (dd, du))
+        pads = [(0, 0)] * len(lead) + [(0, ddp - dd), (0, dup - du)]
+        return jnp.pad(v2, pads).reshape(lead + (ddp * dup,))
+    return embed_real(v, dd, du, ddp, dup)
+
+
+def _extract_any(v, dd, du, ddp, dup):
+    if isinstance(v, jax.Array):
+        lead = v.shape[:-1]
+        return v.reshape(lead + (ddp, dup))[..., :dd, :du] \
+            .reshape(lead + (dd * du,))
+    return extract_real(v, dd, du, ddp, dup)
+
+
 def build_real_padded_large(op: SectorOperator, dtype=jnp.float32):
     """(dev, dim_p, embed, extract) or None when the operator is complex."""
     if not op_is_real(op):
@@ -465,10 +486,10 @@ def build_real_padded_large(op: SectorOperator, dtype=jnp.float32):
     dd, du = op.dim_dw, op.dim_up
 
     def embed(v):
-        return embed_real(v, dd, du, ddp, dup)
+        return _embed_any(v, dd, du, ddp, dup)
 
     def extract(v):
-        return extract_real(v, dd, du, ddp, dup)
+        return _extract_any(v, dd, du, ddp, dup)
 
     return dev, ddp * dup, embed, extract
 
@@ -486,10 +507,10 @@ def build_pair_padded_large(op: SectorOperator, dtype=jnp.float32):
     dd, du = op.dim_dw, op.dim_up
 
     def embed(v):
-        return embed_real(v, dd, du, ddp, dup)
+        return _embed_any(v, dd, du, ddp, dup)
 
     def extract(v):
-        return extract_real(v, dd, du, ddp, dup)
+        return _extract_any(v, dd, du, ddp, dup)
 
     return dev, real, ddp * dup, embed, extract
 

@@ -274,11 +274,22 @@ def make_sharded_matvec_dense_pair(op: SectorOperator, mesh: Mesh,
 
 
 def make_sharded_matvec_dense_real(op: SectorOperator, mesh: Mesh,
-                                   axis: str = "dw"):
+                                   axis: str = "dw",
+                                   overlap: int = 0):
     """Sharded dense-factor matvec for a REAL sector Hamiltonian on a REAL
     vector plane (multi-chip twin of split.matvec_dense_real): 2 MXU
     matmuls per H·v instead of the complex kernel's 6, and the all-to-all
     payload is halved ([1+T] planes instead of [2+2T]).
+
+    ``overlap > 1`` chunks the transpose payload along the up axis into
+    that many independent all_to_all -> matmul -> all_to_all chains
+    (BASELINE north-star: "halo exchange overlapped with on-chip SpMV").
+    The chunks are data-independent, so XLA's async collective scheduler
+    can run chunk i's dw-matmul while chunk i+1's all-to-all is on the
+    wire — a software double-buffer with no extra memory beyond one chunk.
+    Chunking composes with the local up-matmul (issued first, fully
+    overlappable) but not with Jx/Jp payload stacking (falls back to the
+    single-shot transpose when nd terms are present).
     Returns (matvec_real, sharding, (dd_pad, du_pad))."""
     ndev = mesh.shape[axis]
     dd = -(-op.dim_dw // ndev) * ndev
@@ -316,8 +327,32 @@ def make_sharded_matvec_dense_real(op: SectorOperator, mesh: Mesh,
     nd_dw_d = jax.device_put(jnp.asarray(nd_dw),
                              NamedSharding(mesh, P(None, None, None)))
 
+    up_loc = du // ndev
+    nchunk = overlap if (overlap > 1 and t == 0
+                         and up_loc % overlap == 0) else 1
+
     def kernel(diag_l, hupT, hdw, nd_upT, nd_dw, x):
         out = diag_l * x + jnp.matmul(x, hupT, precision=P_)
+        if nchunk > 1:
+            # chunked transpose: C independent a2a -> matmul -> a2a
+            # chains; the up axis is viewed as [ndev, up_loc] so chunk c
+            # carries columns [c0:c1) of EVERY device slice and lands
+            # contiguous in the transposed layout.
+            dw_loc = x.shape[0]
+            w = up_loc // nchunk
+            x3 = x.reshape(dw_loc, ndev, up_loc)
+            parts = []
+            for c in range(nchunk):
+                xc = jax.lax.slice_in_dim(x3, c * w, (c + 1) * w, axis=2) \
+                    .reshape(dw_loc, ndev * w)
+                pt = jax.lax.all_to_all(xc[None], axis, split_axis=2,
+                                        concat_axis=1, tiled=True)[0]
+                yt = jnp.matmul(hdw, pt, precision=P_)     # [DimDw, w]
+                bc = jax.lax.all_to_all(yt[None], axis, split_axis=1,
+                                        concat_axis=2, tiled=True)[0]
+                parts.append(bc.reshape(dw_loc, ndev, w))
+            back = jnp.concatenate(parts, axis=2).reshape(dw_loc, du)
+            return out + back
         pay = [x] + [jnp.matmul(x, nd_upT[ti], precision=P_)
                      for ti in range(t)]
         pt = jax.lax.all_to_all(jnp.stack(pay), axis, split_axis=2,
@@ -345,14 +380,15 @@ def make_sharded_matvec_dense_real(op: SectorOperator, mesh: Mesh,
 
 
 def sharded_matvec_real_flat(op: SectorOperator, mesh: Mesh,
-                             axis: str = "dw"):
+                             axis: str = "dw", overlap: int = 0):
     """Flat real matvec [dim] -> [dim] over the sharded real dense-factor
     kernel, or None when the sector Hamiltonian is not real — plugs into
     lanczos_eigh_real so the whole eigensolve runs sharded."""
     from ..ops.split import op_is_real
     if not op_is_real(op):
         return None
-    mv2d, sh, (ddp, dup) = make_sharded_matvec_dense_real(op, mesh, axis)
+    mv2d, sh, (ddp, dup) = make_sharded_matvec_dense_real(
+        op, mesh, axis, overlap=overlap)
     dd, du = op.dim_dw, op.dim_up
 
     def mv(v):

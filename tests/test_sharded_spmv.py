@@ -44,6 +44,24 @@ def test_sharded_matvec_matches_local(mesh8):
     np.testing.assert_allclose(got, want, atol=1e-12)
 
 
+def test_sharded_overlap_chunks_match_single_shot(mesh8):
+    """Chunked (comm/compute-overlapped) transpose == single-shot kernel
+    (round-1 VERDICT item 4: the chains must stay oracle-exact)."""
+    cfg, op = make_op()
+    # realify: zero imaginary parts so the real kernel applies
+    op.h_up.vals = op.h_up.vals.real.astype(np.complex128)
+    op.h_dw.vals = op.h_dw.vals.real.astype(np.complex128)
+    mv1 = sharded_spmv.sharded_matvec_real_flat(op, mesh8)
+    mv4 = sharded_spmv.sharded_matvec_real_flat(op, mesh8, overlap=4)
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=op.dim)
+    want = op.matvec_np(v.astype(np.complex128)).real
+    got1 = np.asarray(mv1(jnp.asarray(v)))
+    got4 = np.asarray(mv4(jnp.asarray(v)))
+    np.testing.assert_allclose(got1, want, atol=1e-12)
+    np.testing.assert_allclose(got4, want, atol=1e-12)
+
+
 def test_sharded_matvec_with_jxjp(mesh8):
     """Non-factorable Jx/Jp terms through the folded all-to-all path."""
     cfg, op = make_op(norb=2, nlat=1, nbath=3, nup=3, ndw=2, jx=0.25,
