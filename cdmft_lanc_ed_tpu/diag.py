@@ -492,7 +492,12 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                     mv, dim, neigen=neigen, ncv=nblock,
                     maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
             eig_values = np.asarray(res.eigenvalues)
-            eig_basis = np.asarray(res.eigenvectors)      # [neigen, dim]
+            # device-resident vectors (large sectors) stay on device;
+            # host results pass through unchanged
+            import jax as _jax
+            eig_basis = (res.eigenvectors
+                         if isinstance(res.eigenvectors, _jax.Array)
+                         else np.asarray(res.eigenvectors))  # [ne, dim]
         else:
             h = op.to_dense()
             w, vecs = lanczos.dense_eigh(h)

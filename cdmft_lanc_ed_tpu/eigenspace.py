@@ -87,7 +87,12 @@ class StateList:
                ns: int, twin: bool = False):
         keys = [s.energy for s in self.states]
         pos = bisect.bisect_right(keys, energy)
-        st = EigenState(energy, isector, np.asarray(vector))
+        # device-resident (jax) vectors are stored AS-IS — large-sector
+        # eigenvectors never round-trip the host (VERDICT r1 item 8)
+        if type(vector).__module__.startswith("numpy") or \
+                isinstance(vector, (list, tuple)):
+            vector = np.asarray(vector)
+        st = EigenState(energy, isector, vector)
         self.states.insert(pos, st)
         if twin:
             tw = EigenState(energy, fock.get_twin_sector(isector, ns),

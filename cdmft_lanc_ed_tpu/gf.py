@@ -148,11 +148,12 @@ def _apply_dw(v2d: np.ndarray, tgt: np.ndarray, sgn: np.ndarray,
     return out
 
 
-def base_excitations(cfg: EDConfig, v2d: np.ndarray, nup: int, ndw: int,
+def base_excitations(cfg: EDConfig, v2d, nup: int, ndw: int,
                      ispin: int, create: bool):
     """All impurity-level excitations O_a|psi>, a=0..Nimp-1, as flattened
     vectors in the target sector; returns (vectors [Nimp, jdim] or None,
-    (jnup, jndw))."""
+    (jnup, jndw)).  A DEVICE-resident ``v2d`` (large sectors) is excited
+    on device via index scatters — no host round-trip of the state."""
     ns, nimp = cfg.ns, cfg.nimp
     dn = 1 if create else -1
     if ispin == 0:
@@ -165,6 +166,24 @@ def base_excitations(cfg: EDConfig, v2d: np.ndarray, nup: int, ndw: int,
     src_dw = fock.sector_states(ns, ndw)
     tgt_up = fock.sector_states(ns, jnup)
     tgt_dw = fock.sector_states(ns, jndw)
+    import jax
+    if isinstance(v2d, jax.Array):
+        outs = []
+        for a in range(nimp):
+            if ispin == 0:
+                tgt, sgn = fock.op_map(src_up, tgt_up, a, create)
+                sel = np.nonzero(tgt >= 0)[0]
+                o = jnp.zeros((v2d.shape[0], len(tgt_up)), v2d.dtype)
+                o = o.at[:, tgt[sel]].set(
+                    v2d[:, sel] * jnp.asarray(sgn[sel], v2d.dtype))
+            else:
+                tgt, sgn = fock.op_map(src_dw, tgt_dw, a, create)
+                sel = np.nonzero(tgt >= 0)[0]
+                o = jnp.zeros((len(tgt_dw), v2d.shape[1]), v2d.dtype)
+                o = o.at[tgt[sel], :].set(
+                    v2d[sel, :] * jnp.asarray(sgn[sel], v2d.dtype)[:, None])
+            outs.append(o.reshape(-1))
+        return jnp.stack(outs), (jnup, jndw)
     out = np.zeros((nimp, len(tgt_dw) * len(tgt_up)), dtype=v2d.dtype)
     for a in range(nimp):
         if ispin == 0:
@@ -342,7 +361,14 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
         vec = st.get_vector(ns)
         dim_up = len(fock.sector_states(ns, nup))
         dim_dw = len(fock.sector_states(ns, ndw))
-        v2d = np.asarray(vec).reshape(dim_dw, dim_up)
+        if isinstance(vec, jax.Array) and not chan4:
+            # device-resident large-sector state: excitations built on
+            # device (the 4-channel scheme needs complex combinations,
+            # unsupported on the TPU device path — real problems
+            # auto-select 2-channel, see build_gf_and_sigma)
+            v2d = vec.reshape(dim_dw, dim_up)
+        else:
+            v2d = np.asarray(vec).reshape(dim_dw, dim_up)
 
         for ispin in range(cfg.nspin):
             for create in (True, False):
@@ -370,13 +396,20 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                             vecs.append(base[a] + ph * base[b])
                             meta.append(((a, b), -1j, istate, ei, isign,
                                          ispin))
-                is_real = not np.abs(np.stack(vecs).imag).max() > 0.0
+                if isinstance(base, jax.Array):
+                    stacked = jnp.stack(vecs)
+                    is_real = not jnp.iscomplexobj(stacked)
+                else:
+                    stacked = np.stack(vecs)
+                    is_real = not np.abs(stacked.imag).max() > 0.0
                 jobs.setdefault((jnup, jndw, is_real), []).append(
-                    (np.stack(vecs), meta))
+                    (stacked, meta))
 
     # --- run one batched tridiagonalisation per target-sector group ------
     for (jnup, jndw, is_real), entries in jobs.items():
-        batch = np.concatenate([e[0] for e in entries])
+        on_dev = all(isinstance(e[0], jax.Array) for e in entries)
+        cat = jnp.concatenate if on_dev else np.concatenate
+        batch = cat([e[0] for e in entries])
         meta = [m for e in entries for m in e[1]]
         # chunk so the Krylov working set stays bounded (large sectors:
         # 3 live planes per row of the batch)
@@ -478,9 +511,12 @@ def build_gf_and_sigma(cfg: EDConfig, hb: BathBasis, bath: DmftBath,
         real_h = (np.abs(np.asarray(imp_hloc).imag).max(initial=0) == 0
                   and np.abs(np.asarray(hb.basis).imag).max(initial=0) == 0)
         if real_h:
-            force_sym = all(
-                np.abs(np.asarray(st.get_vector(cfg.ns)).imag)
-                .max(initial=0) == 0 for st in state.state_list)
+            def _vec_is_real(st):
+                v = st.get_vector(cfg.ns)
+                if not np.iscomplexobj(v):   # real dtype: no transfer
+                    return True
+                return np.abs(np.asarray(v).imag).max(initial=0) == 0
+            force_sym = all(_vec_is_real(st) for st in state.state_list)
         if force_sym:
             log("gf: real problem detected -> symmetric 2-channel scheme")
 

@@ -105,7 +105,35 @@ def observables_impurity(cfg: EDConfig, state: DiagState) -> Observables:
     szsz = np.zeros((nimp, nimp))    # <Sz_a Sz_b>
     s2tot = np.zeros(nlat)
 
+    import jax
+
     for st, peso in _state_weights(cfg, state):
+        vec = st.get_vector(ns)
+        site = np.repeat(np.arange(nlat), norb)
+        if isinstance(vec, jax.Array) and not np.issubdtype(
+                np.dtype(vec.dtype), np.complexfloating):
+            # device-resident (large-sector) state: all contractions on
+            # device, |psi|^2 never moves to host
+            nup_q, ndw_q = fock.get_quantum_numbers(st.isector, ns)
+            states_up = fock.sector_states(ns, nup_q)
+            states_dw = fock.sector_states(ns, ndw_q)
+            n_up = fock.number_op(states_up, np.arange(nimp))
+            n_dw = fock.number_op(states_dw, np.arange(nimp))
+            sz_up = np.zeros((len(states_up), nlat))
+            sz_dw = np.zeros((len(states_dw), nlat))
+            for a in range(nimp):
+                sz_up[:, site[a]] += 0.5 * n_up[:, a]
+                sz_dw[:, site[a]] -= 0.5 * n_dw[:, a]
+            v2d = vec.reshape(len(states_dw), len(states_up))
+            pu, pd, cross, uu, dd, s2 = _obs_reductions_device(
+                v2d, n_up, n_dw, sz_up, sz_dw)
+            dens_up += peso * pu
+            dens_dw += peso * pd
+            docc += peso * np.diag(cross)
+            nn += peso * (uu + dd + cross + cross.T)
+            szsz += peso * 0.25 * (uu + dd - cross - cross.T)
+            s2tot += peso * s2
+            continue
         _, prob, n_up, n_dw, _, _ = _prob_and_occs(cfg, st, ns)
         pu = prob.sum(axis=0) @ n_up          # [Nimp] sum_i P n_up
         pd = prob.sum(axis=1) @ n_dw
@@ -120,7 +148,6 @@ def observables_impurity(cfg: EDConfig, state: DiagState) -> Observables:
         nn += peso * (uu + dd + cross + cross.T)
         szsz += peso * 0.25 * (uu + dd - cross - cross.T)
         # S^2_tot per site: (sum_orb Sz)^2
-        site = np.repeat(np.arange(nlat), norb)
         sz_up = np.zeros((prob.shape[1], nlat))
         sz_dw = np.zeros((prob.shape[0], nlat))
         for a in range(nimp):

@@ -220,10 +220,16 @@ def lanczos_tridiag_batched_real(matvec_real, v0: np.ndarray, niter: int,
     with the operator passed via ``op=`` (kernel compiled once per shape
     bucket, shared across sectors/bath updates).
     Returns the same host arrays as :func:`lanczos_tridiag_batched`."""
-    v0 = np.asarray(v0)
-    norms0 = np.linalg.norm(v0, axis=1)
-    scale = np.where(norms0 > 1e-300, norms0, 1.0)
-    v0n = jnp.asarray(np.ascontiguousarray(v0 / scale[:, None]), dtype)
+    if isinstance(v0, jax.Array):
+        # device-resident batch: normalise on device, no host round-trip
+        norms0_d = jnp.linalg.norm(v0, axis=1)
+        v0n = (v0 / jnp.maximum(norms0_d, 1e-300)[:, None]).astype(dtype)
+        norms0 = np.asarray(norms0_d)
+    else:
+        v0 = np.asarray(v0)
+        norms0 = np.linalg.norm(v0, axis=1)
+        scale = np.where(norms0 > 1e-300, norms0, 1.0)
+        v0n = jnp.asarray(np.ascontiguousarray(v0 / scale[:, None]), dtype)
     apply_fn, opd, cached = _as_applier(matvec_real, op)
     run = (_tridiag_real_run(apply_fn, niter, op_batched) if cached
            else _tridiag_real_run.__wrapped__(apply_fn, niter, op_batched))

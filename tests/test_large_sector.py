@@ -172,6 +172,50 @@ def test_gf_through_large_path_matches_dense_path(tmp_path, monkeypatch):
     np.testing.assert_allclose(s_l, s_ref, rtol=1e-6, atol=1e-7)
 
 
+def test_device_resident_solve_matches_host(tmp_path, monkeypatch):
+    """Large-path solve keeps eigenvectors device-resident; energies,
+    observables, CDM and GF must match the host/dense path (VERDICT r1
+    item 8)."""
+    import jax
+    from cdmft_lanc_ed_tpu import EDSolver
+    from cdmft_lanc_ed_tpu.ops import split
+
+    def run(workdir):
+        cfg = EDConfig(nlat=2, norb=1, nspin=1, nbath=1, uloc=[3.0],
+                       lmats=16, lreal=8, lanc_dim_threshold=4,
+                       dm_flag=True, ed_verbose=0, work_dir=str(workdir))
+        nn = (2, 2, 1, 1, 1, 1)
+        hloc = np.zeros(nn, np.complex128)
+        hloc[0, 1, 0, 0, 0, 0] = hloc[1, 0, 0, 0, 0, 0] = -1.0
+        basis = np.zeros((1,) + nn, np.complex128)
+        for il in range(2):
+            basis[0, il, il, 0, 0, 0, 0] = 1.0
+        s = EDSolver(cfg)
+        s.set_hbath(basis, np.array([[0.3]]))
+        bath = s.init_solver()
+        s.solve(bath, hloc)
+        return s
+
+    d1 = tmp_path / "host"
+    d2 = tmp_path / "dev"
+    d1.mkdir()
+    d2.mkdir()
+    s_ref = run(d1)
+    monkeypatch.setattr(split, "DENSE_FACTOR_MAX", 2)
+    s_dev = run(d2)
+    # at least one retained eigenvector is device-resident
+    assert any(isinstance(st.vector, jax.Array)
+               for st in s_dev.diag_state.state_list if not st.itwin)
+    assert abs(s_dev.egs - s_ref.egs) < 1e-8
+    np.testing.assert_allclose(s_dev.obs.dens, s_ref.obs.dens, atol=1e-7)
+    np.testing.assert_allclose(s_dev.obs.docc, s_ref.obs.docc, atol=1e-7)
+    np.testing.assert_allclose(s_dev.obs.s2tot, s_ref.obs.s2tot,
+                               atol=1e-7)
+    np.testing.assert_allclose(s_dev.cdm, s_ref.cdm, atol=1e-7)
+    np.testing.assert_allclose(s_dev.gf.smats, s_ref.gf.smats, rtol=1e-6,
+                               atol=1e-7)
+
+
 def test_sharded_large_matvec_matches_oracle():
     """8-device CPU mesh: block-sparse sharded matvec == oracle, with the
     per-chip operator memory bounded by the tile set (round-1 VERDICT
