@@ -1,0 +1,140 @@
+"""Mixed precision == f64 physics on the five BASELINE.json configs.
+
+Round-1 VERDICT item 2: `ed_precision='mixed'` (f32 Krylov stage + f64
+Rayleigh-Ritz refine) is the production throughput path measured by
+bench.py; these tests pin that it reproduces the f64 physics — ground
+state energy, Matsubara self-energy, cluster density matrix — within
+refine-level bounds on scaled-down versions of each BASELINE config:
+
+1. 2x2 Hubbard plaquette, no bath
+2. single-site cluster + replica bath
+3. 1d Hubbard chain 2-site cluster + replica bath
+4. 2x2 cluster + bath (cdn_hm_2dsquare shape) incl. a chi2 fit step
+5. BHZ complex Hamiltonian + general bath + RDM (2-site scale-down)
+"""
+import numpy as np
+import pytest
+
+from cdmft_lanc_ed_tpu import EDConfig, EDSolver
+
+
+def _run(cfg_kw, hloc, basis=None, lam=None, fit=False):
+    results = {}
+    for prec in ("complex128", "mixed"):
+        cfg = EDConfig(ed_precision=prec, **cfg_kw)
+        s = EDSolver(cfg)
+        if basis is not None:
+            s.set_hbath(np.asarray(basis, np.complex128), lam)
+        bath = s.init_solver()
+        s.solve(bath, hloc)
+        out = {"egs": s.egs, "smats": s.gf.smats if cfg.gf_flag else None,
+               "dens": s.obs.dens, "cdm": s.cdm}
+        if fit and cfg.gf_flag:
+            from cdmft_lanc_ed_tpu.fit import chi2_fitgf
+            fitted, _chi, _it = chi2_fitgf(cfg, s.hb, s.gf.g0mats, bath,
+                                           hloc_nnn=hloc)
+            out["fitted"] = fitted
+        results[prec] = out
+    return results
+
+
+def _compare(res, check_cdm=True, sig_rtol=2e-5):
+    f64, mx = res["complex128"], res["mixed"]
+    assert abs(f64["egs"] - mx["egs"]) < 1e-7
+    np.testing.assert_allclose(mx["dens"], f64["dens"], atol=1e-6)
+    if f64["smats"] is not None:
+        np.testing.assert_allclose(mx["smats"], f64["smats"],
+                                   rtol=sig_rtol, atol=1e-5)
+    if check_cdm and f64["cdm"] is not None:
+        np.testing.assert_allclose(mx["cdm"], f64["cdm"], atol=1e-6)
+
+
+def _hop_cluster(pairs, nlat, norb=1, t=1.0):
+    nn = (nlat, nlat, 1, 1, norb, norb)
+    h = np.zeros(nn, np.complex128)
+    for (i, j) in pairs:
+        for o in range(norb):
+            h[i, j, 0, 0, o, o] = h[j, i, 0, 0, o, o] = -t
+    return h
+
+
+def test_config1_plaquette_no_bath(tmp_path):
+    hloc = _hop_cluster([(0, 1), (0, 2), (1, 3), (2, 3)], 4)
+    res = _run(dict(nlat=4, norb=1, nspin=1, nbath=0, uloc=[4.0],
+                    lmats=16, lreal=8, dm_flag=True,
+                    lanc_dim_threshold=32, ed_verbose=0,
+                    work_dir=str(tmp_path)), hloc)
+    _compare(res)
+
+
+def test_config2_single_site_replica_bath(tmp_path):
+    hloc = np.zeros((1, 1, 1, 1, 1, 1), np.complex128)
+    basis = np.zeros((1, 1, 1, 1, 1, 1, 1), np.complex128)
+    basis[0, 0, 0, 0, 0, 0, 0] = 1.0
+    lam = np.array([[-0.5], [0.5], [1.0], [-1.0]])   # Nbath=4 replicas
+    res = _run(dict(nlat=1, norb=1, nspin=1, nbath=4, uloc=[2.0],
+                    lmats=16, lreal=8, dm_flag=True,
+                    lanc_dim_threshold=16, ed_verbose=0,
+                    work_dir=str(tmp_path)), hloc, basis, lam)
+    _compare(res)
+
+
+def test_config3_1dchain_2site_cluster(tmp_path):
+    hloc = _hop_cluster([(0, 1)], 2)
+    nn = (2, 2, 1, 1, 1, 1)
+    basis = np.zeros((1,) + nn, np.complex128)
+    for il in range(2):
+        basis[0, il, il, 0, 0, 0, 0] = 1.0
+    res = _run(dict(nlat=2, norb=1, nspin=1, nbath=2, uloc=[3.0],
+                    lmats=16, lreal=8, dm_flag=True,
+                    lanc_dim_threshold=16, ed_verbose=0,
+                    work_dir=str(tmp_path)), hloc,
+               basis, np.array([[0.4], [-0.4]]))
+    _compare(res)
+
+
+def test_config4_2x2_cluster_with_fit(tmp_path):
+    hloc = _hop_cluster([(0, 1), (0, 2), (1, 3), (2, 3)], 4)
+    nn = (4, 4, 1, 1, 1, 1)
+    basis = np.zeros((1,) + nn, np.complex128)
+    for il in range(4):
+        basis[0, il, il, 0, 0, 0, 0] = 1.0
+    res = _run(dict(nlat=4, norb=1, nspin=1, nbath=1, uloc=[4.0],
+                    lmats=24, lreal=8, dm_flag=False,
+                    lanc_dim_threshold=16, ed_verbose=0,
+                    work_dir=str(tmp_path)), hloc,
+               basis, np.array([[0.2]]), fit=True)
+    _compare(res, check_cdm=False)
+    np.testing.assert_allclose(res["mixed"]["fitted"],
+                               res["complex128"]["fitted"],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_config5_bhz_general_bath_rdm(tmp_path):
+    # 2-site scale-down of cdn_bhz: complex H, 2 orbitals, general bath
+    nlat, norb = 2, 2
+    nn = (nlat, nlat, 1, 1, norb, norb)
+    hloc = np.zeros(nn, np.complex128)
+    mh, lam_so, ts = 1.0, 0.3, 0.5
+    for il in range(nlat):
+        hloc[il, il, 0, 0, 0, 0] = mh
+        hloc[il, il, 0, 0, 1, 1] = -mh
+    hloc[0, 1, 0, 0, 0, 0] = hloc[1, 0, 0, 0, 0, 0] = -ts
+    hloc[0, 1, 0, 0, 1, 1] = hloc[1, 0, 0, 0, 1, 1] = ts
+    hloc[0, 1, 0, 0, 0, 1] = 0.5j * lam_so
+    hloc[0, 1, 0, 0, 1, 0] = 0.5j * lam_so
+    hloc[1, 0, 0, 0, 0, 1] = np.conj(hloc[0, 1, 0, 0, 1, 0])
+    hloc[1, 0, 0, 0, 1, 0] = np.conj(hloc[0, 1, 0, 0, 0, 1])
+    basis = np.zeros((2,) + nn, np.complex128)
+    for il in range(nlat):
+        basis[0, il, il, 0, 0, 0, 0] = 1.0
+        basis[0, il, il, 0, 0, 1, 1] = -1.0
+        basis[1, il, il, 0, 0, 0, 0] = 1.0
+        basis[1, il, il, 0, 0, 1, 1] = 1.0
+    res = _run(dict(nlat=nlat, norb=norb, nspin=1, nbath=1,
+                    bath_type="general", uloc=[2.0, 2.0], ust=0.5,
+                    lmats=16, lreal=8, dm_flag=True,
+                    lanc_dim_threshold=16, ed_verbose=0,
+                    work_dir=str(tmp_path)), hloc,
+               basis, np.array([[0.7, 0.1]]))
+    _compare(res, sig_rtol=5e-5)
