@@ -309,6 +309,28 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                 op = build(jnup, jndw)
                 is_large = max(op.dim_up, op.dim_dw) \
                     > split_mod.DENSE_FACTOR_MAX
+                # mesh routing: large real sectors run the GF matvec
+                # sharded over the solver mesh (same all-to-all transpose
+                # kernel as the diagonalization; the reference reuses its
+                # MPI matvec here, ED_GF_NORMAL.f90:208-215).  Injections
+                # are applied sequentially (lax.map), each H·v sharded.
+                if is_large and key[2]:
+                    from .parallel import multichip
+                    mesh = multichip.get_solver_mesh()
+                    if mesh is not None and "dw" in mesh.shape \
+                            and split_mod.op_is_real(op):
+                        from .parallel.sharded_large import (
+                            sharded_matvec_large_real_flat)
+                        mv_sh = sharded_matvec_large_real_flat(
+                            op, mesh, dtype=gf_dtype)
+                        dd_, du_ = op.dim_dw, op.dim_up
+
+                        def app_sh(_op, xb, _mv=mv_sh):
+                            return jax.lax.map(_mv, xb)
+
+                        op_cache[key] = (app_sh, 0, dd_ * du_,
+                                         lambda v: v, lambda v: v, True)
+                        return op_cache[key]
                 if key[2]:
                     kit = (large_mod.build_real_padded_large(
                         op, dtype=gf_dtype) if is_large
