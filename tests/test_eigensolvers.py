@@ -85,3 +85,46 @@ def test_tridiag_resolvent_moments():
         exact = (v.conj() @ np.linalg.matrix_power(h, k) @ v).real
         lancz = ((np.abs(z0) ** 2) * w ** k).sum()
         np.testing.assert_allclose(lancz, exact, rtol=1e-9, atol=1e-9)
+
+
+def test_gf_chain_invariant_subspace_no_ghost_poles():
+    """Property test (round-1 VERDICT weak item 6): when the Krylov space
+    is exhausted mid-chain (beta underflow — invariant subspace), the
+    chain must truncate there and the pole/weight spectrum must equal the
+    exact resolvent; rounding-noise continuation must not add ghosts."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cdmft_lanc_ed_tpu import EDConfig
+    from cdmft_lanc_ed_tpu.gf import _chain_to_poles
+    from cdmft_lanc_ed_tpu.ops import lanczos
+
+    rng = np.random.default_rng(3)
+    # block-diagonal H: start vector lives in the 3-dim block only
+    a = rng.normal(size=(3, 3))
+    a = 0.5 * (a + a.T)
+    h = np.zeros((8, 8))
+    h[:3, :3] = a
+    h[3:, 3:] = np.diag(np.arange(5) + 10.0)
+    v0 = np.zeros(8)
+    v0[:3] = rng.normal(size=3)
+
+    def mv(_op, x):
+        return jnp.asarray(h) @ x
+
+    nlanc = 32          # far beyond the 3-step invariant subspace
+    alphas, betas, norms = lanczos.lanczos_tridiag_batched_real(
+        mv, v0[None, :], nlanc, op=0)
+    cfg = EDConfig(nlat=1, norb=1, nspin=1, nbath=0, uloc=[0.0],
+                   ed_verbose=0)
+    ch = _chain_to_poles(alphas[0], betas[0], float(norms[0]), 1.0 + 0j,
+                         ei=0.0, egs=0.0, isign=1, cfg=cfg, zeta=1.0)
+    # exact resolvent of the reachable block
+    z = np.array([0.3 + 0.05j, -1.2 + 0.1j, 2.5 + 0.01j])
+    w_ex, s_ex = np.linalg.eigh(a)
+    amp = s_ex.T @ v0[:3]
+    g_exact = ((amp ** 2)[None, :] / (z[:, None] - w_ex[None, :])).sum(1)
+    g_chain = (ch.weights[None, :] / (z[:, None] - ch.poles[None, :])) \
+        .sum(1)
+    np.testing.assert_allclose(g_chain, g_exact, rtol=1e-9, atol=1e-10)
+    # no ghost poles outside the reachable block's spectrum
+    assert len(ch.poles) <= 3

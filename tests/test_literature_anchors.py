@@ -119,6 +119,41 @@ def test_su_dai_tong_single_site_rdm(tmp_path):
     assert abs(np.trace(rho1) - 1.0) < 1e-10
 
 
+def test_bhz_model_z2_transition_at_4ts():
+    """The repo's own BHZ model builder + spin-Chern Z2 machinery pin the
+    literature transition: topological (Z2=1) for |mh| < 4 ts, trivial
+    above (gap closes at Gamma at mh = 4 ts; BHZ, Science 314, 1757
+    (2006)).  This is the non-interacting anchor of the reference's BHZ
+    milestone (/root/reference/README.md:34) and of the interacting
+    topological-Hamiltonian analysis in cdn_bhz_postprocessing."""
+    from cdmft_lanc_ed_tpu.postprocess import spin_chern_z2
+    from cdmft_lanc_ed_tpu.models.bhz import bhz_cluster_hloc, t_x, t_y
+    from cdmft_lanc_ed_tpu.utils.reshape import nnn2lso
+
+    ts, lam = 0.25, 0.3
+
+    def single_cell_hk(mh):
+        def hk(k):
+            h = bhz_cluster_hloc(1, 1, mh, ts, lam).copy()
+            for s in range(2):
+                h[0, 0, s, s] += \
+                    t_x(ts, lam, s).conj().T * np.exp(1j * k[0]) \
+                    + t_x(ts, lam, s) * np.exp(-1j * k[0]) \
+                    + t_y(ts, lam).T * np.exp(1j * k[1]) \
+                    + t_y(ts, lam) * np.exp(-1j * k[1])
+            return nnn2lso(h, 1, 2, 2)
+        return hk
+
+    rec = 2 * np.pi * np.eye(2)
+    cu_t, cd_t, z2_t = spin_chern_z2(single_cell_hk(0.95 * 4 * ts), rec,
+                                     24, 4, 1)
+    cu_x, cd_x, z2_x = spin_chern_z2(single_cell_hk(1.05 * 4 * ts), rec,
+                                     24, 4, 1)
+    assert z2_t == 1 and abs(abs(cu_t) - 1) < 1e-6 \
+        and abs(cu_t + cd_t) < 1e-6
+    assert z2_x == 0 and abs(cu_x) < 1e-6 and abs(cd_x) < 1e-6
+
+
 def test_bhz_chern_transition():
     """Qi-Wu-Zhang/BHZ block h(k) = sin kx s_x + sin ky s_y
     + (u + cos kx + cos ky) s_z: Chern number of the lower band is +1 for
