@@ -354,6 +354,9 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                     op, mesh, dtype=jnp.float64 if
                     cfg.ed_precision != "mixed" else jnp.float32)
             if mv_large_sh is not None:
+                # device_vectors: retained eigenvectors stay sharded on
+                # the mesh after the solve (the reference keeps them
+                # distributed, ED_EIGENSPACE.f90:499-569)
                 if cfg.ed_precision == "mixed":
                     from .parallel.sharded_large import (
                         sharded_matvec_large_real_flat as _slr)
@@ -361,12 +364,12 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                     res = lanczos.lanczos_eigh_mixed_real(
                         mv_large_sh, mv64, dim, neigen=neigen,
                         ncv=nblock, maxiter=nitermax * nblock,
-                        tol=cfg.lanc_tolerance)
+                        tol=cfg.lanc_tolerance, device_vectors=True)
                 else:
                     res = lanczos.lanczos_eigh_real(
                         mv_large_sh, dim, neigen=neigen, ncv=nblock,
                         maxiter=nitermax * nblock,
-                        tol=cfg.lanc_tolerance)
+                        tol=cfg.lanc_tolerance, device_vectors=True)
             elif use_mesh and not is_large:
                 # large sector: shard the vector along dw over the mesh
                 from .parallel.sharded_spmv import (
