@@ -31,6 +31,15 @@ def _per_step(chain, v, s_small=2, s_big=12, reps=2):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--solve", action="store_true",
+                    help="run a full mixed-precision ground-state solve "
+                         "of the Ns=16 sector (time-to-solution)")
+    ap.add_argument("--ncv", type=int, default=10)
+    ap.add_argument("--maxiter", type=int, default=120)
+    args = ap.parse_args()
+
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -39,6 +48,46 @@ def main():
 
     t0 = time.time()
     _, op = ge._plaquette_bath_op(nbath=3, nup=8, ndw=8)   # Ns=16
+
+    if args.solve:
+        from cdmft_lanc_ed_tpu.ops import lanczos
+        kit32 = large.build_real_padded_large(op, dtype=jnp.float32)
+        dev32, dim_p, embed, extract = kit32
+        # f64 operator built LAZILY after the f32 Krylov stage (both
+        # operator stacks + the Krylov basis cannot coexist in 16 GB HBM
+        # at dim 1.66e8); the closure runs eagerly so the f64 arrays are
+        # runtime arguments, not compile-time constants.
+        _c = {}
+
+        def mv64(x):
+            if "op" not in _c:
+                _c["op"] = large.build_real_padded_large(
+                    op, dtype=jnp.float64)[0]
+            return large.apply_large_real_flat(_c["op"], x)
+
+        rng = np.random.default_rng(0)
+        ddp, dup = dev32.diag.shape
+        v0 = np.zeros((ddp, dup), np.float32)
+        v0[:op.dim_dw, :op.dim_up] = rng.normal(
+            size=(op.dim_dw, op.dim_up)).astype(np.float32)
+        v0 = v0.reshape(-1)
+        t1 = time.time()
+        res = lanczos.lanczos_eigh_mixed_real(
+            large.apply_large_real_flat, mv64,
+            dim_p, neigen=1, ncv=args.ncv, maxiter=args.maxiter,
+            tol=1e-8, v0=v0, op32=dev32,
+            device_vectors=True)
+        dt = time.time() - t1
+        print(json.dumps({
+            "metric": "large_sector_ns16_gs_solve_s",
+            "value": float(f"{dt:.4g}"), "unit": "s",
+            "vs_baseline": float(f"{res.eigenvalues[0]:.8f}"),
+        }))
+        print(f"# Ns=16 dim={op.dim} E0={res.eigenvalues[0]:.10f} "
+              f"nmv={res.iterations} converged={res.converged} "
+              f"build={t1-t0:.0f}s solve={dt:.1f}s "
+              f"(incl. first-shape compiles)", file=sys.stderr)
+        return
     dev = large.to_device_large_real(op, dtype=jnp.float32)
     ddp, dup = dev.diag.shape
     nnz = op.nnz

@@ -343,17 +343,27 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         and dim >= 64 * cfg.lanc_dim_threshold)
             is_large = max(op.dim_up, op.dim_dw) > split.DENSE_FACTOR_MAX
             mv_large_sh = None
+            mv_large_sh_pair = None
             if use_mesh and is_large:
-                # large factors: block-sparse sharded kernel (per-chip
+                # large factors: block-sparse sharded kernels (per-chip
                 # operator memory = the tile set, not O(Dim_s^2) dense
-                # replicas); complex large sectors fall through to the
-                # single-chip block-sparse path below
+                # replicas); real sectors get the one-plane kernel,
+                # complex sectors the Karatsuba pair kernel
                 from .parallel.sharded_large import (
+                    sharded_matvec_large_pair_flat,
                     sharded_matvec_large_real_flat)
+                ldtype = (jnp.float64 if cfg.ed_precision != "mixed"
+                          else jnp.float32)
                 mv_large_sh = sharded_matvec_large_real_flat(
-                    op, mesh, dtype=jnp.float64 if
-                    cfg.ed_precision != "mixed" else jnp.float32)
-            if mv_large_sh is not None:
+                    op, mesh, dtype=ldtype)
+                if mv_large_sh is None:
+                    mv_large_sh_pair = sharded_matvec_large_pair_flat(
+                        op, mesh, dtype=jnp.float64)
+            if mv_large_sh_pair is not None:
+                res = lanczos.lanczos_eigh_split(
+                    mv_large_sh_pair, dim, neigen=neigen, ncv=nblock,
+                    maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
+            elif mv_large_sh is not None:
                 # device_vectors: retained eigenvectors stay sharded on
                 # the mesh after the solve (the reference keeps them
                 # distributed, ED_EIGENSPACE.f90:499-569)

@@ -366,7 +366,14 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
         sj = jnp.asarray(np.ascontiguousarray(s[:, :k]), dtype)
         nb = restart_basis(basis, sj)
-        basis = jnp.zeros_like(basis).at[:k].set(nb).at[k].set(basis[ncv])
+        last_row = basis[ncv]
+        # release the OLD basis before allocating the new one: holding
+        # both doubles the peak HBM (at dim 1.66e8 / ncv=10 that is the
+        # difference between fitting in 16 GB and OOM)
+        basis = None
+        basis = jnp.zeros((ncv + 1, nb.shape[1]), dtype) \
+            .at[:k].set(nb).at[k].set(last_row)
+        del nb, last_row
         t_proj[:] = 0.0
         t_proj[:k, :k] = np.diag(theta[:k])
         b_row = last_beta * s[-1, :k]

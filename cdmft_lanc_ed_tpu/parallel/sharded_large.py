@@ -129,6 +129,132 @@ def make_sharded_matvec_large_real(op: SectorOperator, mesh: Mesh,
     return matvec, sh, (ddp, dup)
 
 
+def make_sharded_matvec_large_pair(op: SectorOperator, mesh: Mesh,
+                                   axis: str = "dw", dtype=jnp.float32):
+    """Sharded block-sparse matvec for a COMPLEX large-sector H on the
+    split pair (xr, xi): Karatsuba tiles (tr, ti, ts) per factor — 3
+    block-SpMM passes per side, one all-to-all each way with both planes
+    stacked.  Jx/Jp terms fold in like the real kernel (real sign
+    patterns; complex amplitudes recombined after the transpose).
+    Returns (matvec_pair, sharding, (ddp, dup))."""
+    ndev = mesh.shape[axis]
+    fu, fd = _factor_arrays(op, real=False, dtype=dtype)
+    ddp, dup = fd.nb * B, fu.nb * B
+    assert ddp % ndev == 0 and dup % ndev == 0
+
+    diag = np.full((ddp, dup), large._PAD_DIAG)
+    diag[:op.dim_dw, :op.dim_up] = op.diag()
+    amp, us, ug, ds, dg = large._nd_maps(op, dup, ddp)
+    t = len(op.nd_terms)
+
+    sh = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P(None))
+    rep2 = NamedSharding(mesh, P(None, None))
+    rep3 = NamedSharding(mesh, P(None, None, None))
+
+    def tile_planes(f):
+        return (jax.device_put(jnp.asarray(f.tiles.real, dtype), rep3),
+                jax.device_put(jnp.asarray(f.tiles.imag, dtype), rep3),
+                jax.device_put(jnp.asarray(f.tiles.real + f.tiles.imag,
+                                           dtype), rep3))
+
+    diag_d = jax.device_put(jnp.asarray(diag, dtype), sh)
+    u_tr, u_ti, u_ts = tile_planes(fu)
+    d_tr, d_ti, d_ts = tile_planes(fd)
+    up_rb = jax.device_put(jnp.asarray(fu.row_blk), rep)
+    up_cb = jax.device_put(jnp.asarray(fu.col_blk), rep)
+    up_fs = jax.device_put(jnp.asarray(fu.first), rep)
+    dw_rb = jax.device_put(jnp.asarray(fd.row_blk), rep)
+    dw_cb = jax.device_put(jnp.asarray(fd.col_blk), rep)
+    dw_fs = jax.device_put(jnp.asarray(fd.first), rep)
+    amp_r = jax.device_put(jnp.asarray(amp.real, dtype), rep)
+    amp_i = jax.device_put(jnp.asarray(amp.imag, dtype), rep)
+    us_d = jax.device_put(jnp.asarray(us), rep2)
+    ug_d = jax.device_put(jnp.asarray(ug), rep2)
+    ds_d = jax.device_put(jnp.asarray(ds), rep2)
+    dg_d = jax.device_put(jnp.asarray(dg), rep2)
+
+    def kernel(diag_l, up_rb, up_cb, up_fs, u_tr, u_ti, u_ts,
+               dw_rb, dw_cb, dw_fs, d_tr, d_ti, d_ts, amp_r, amp_i,
+               us_l, ug_l, ds_l, dg_l, xr, xi):
+        xs = xr + xi
+        nb_u = dup // B
+        nb_d = ddp // B
+        # up side, local transposed: Karatsuba 3 passes
+        xrt, xit, xst = xr.T, xi.T, xs.T
+        q1 = large._blk_spmm(up_rb, up_cb, up_fs, u_tr, xrt, nb_u).T
+        q2 = large._blk_spmm(up_rb, up_cb, up_fs, u_ti, xit, nb_u).T
+        q3 = large._blk_spmm(up_rb, up_cb, up_fs, u_ts, xst, nb_u).T
+        out_r = diag_l * xr + (q1 - q2)
+        out_i = diag_l * xi + (q3 - q1 - q2)
+        # Jx/Jp up factors pre-transpose (real sign patterns per plane)
+        pay = [xr, xi]
+        for ti_ in range(t):
+            for plane_t in (xrt, xit):
+                tu = plane_t[jnp.maximum(us_l[ti_], 0)] \
+                    * ug_l[ti_][:, None].astype(xr.dtype)
+                pay.append(tu.T)
+        payload = jnp.stack(pay)
+        pt = jax.lax.all_to_all(payload, axis, split_axis=2,
+                                concat_axis=1, tiled=True)
+        vtr, vti = pt[0], pt[1]
+        vts = vtr + vti
+        p1 = large._blk_spmm(dw_rb, dw_cb, dw_fs, d_tr, vtr, nb_d)
+        p2 = large._blk_spmm(dw_rb, dw_cb, dw_fs, d_ti, vti, nb_d)
+        p3 = large._blk_spmm(dw_rb, dw_cb, dw_fs, d_ts, vts, nb_d)
+        ytr = p1 - p2
+        yti = p3 - p1 - p2
+        for ti_ in range(t):
+            ur = pt[2 + 2 * ti_]
+            ui = pt[3 + 2 * ti_]
+            sgn = dg_l[ti_][:, None].astype(xr.dtype)
+            zr = ur[jnp.maximum(ds_l[ti_], 0)] * sgn
+            zi = ui[jnp.maximum(ds_l[ti_], 0)] * sgn
+            ytr = ytr + amp_r[ti_] * zr - amp_i[ti_] * zi
+            yti = yti + amp_r[ti_] * zi + amp_i[ti_] * zr
+        back = jax.lax.all_to_all(jnp.stack([ytr, yti]), axis,
+                                  split_axis=1, concat_axis=2, tiled=True)
+        return out_r + back[0], out_i + back[1]
+
+    @jax.jit
+    def matvec(xr, xi):
+        return jax.shard_map(
+            kernel, mesh=mesh,
+            in_specs=(P(axis, None), P(None), P(None), P(None),
+                      P(None, None, None), P(None, None, None),
+                      P(None, None, None), P(None), P(None), P(None),
+                      P(None, None, None), P(None, None, None),
+                      P(None, None, None), P(None), P(None),
+                      P(None, None), P(None, None), P(None, None),
+                      P(None, None), P(axis, None), P(axis, None)),
+            out_specs=(P(axis, None), P(axis, None)),
+            check_vma=False,
+        )(diag_d, up_rb, up_cb, up_fs, u_tr, u_ti, u_ts, dw_rb, dw_cb,
+          dw_fs, d_tr, d_ti, d_ts, amp_r, amp_i, us_d, ug_d, ds_d, dg_d,
+          xr, xi)
+
+    return matvec, sh, (ddp, dup)
+
+
+def sharded_matvec_large_pair_flat(op: SectorOperator, mesh: Mesh,
+                                   axis: str = "dw", dtype=jnp.float32):
+    """Flat pair matvec (vr, vi) [dim] -> (wr, wi) over the sharded
+    block-sparse complex kernel."""
+    mv2d, sh, (ddp, dup) = make_sharded_matvec_large_pair(
+        op, mesh, axis, dtype=dtype)
+    dd, du = op.dim_dw, op.dim_up
+
+    def mv(vr, vi):
+        xr = jnp.pad(vr.reshape(dd, du), ((0, ddp - dd), (0, dup - du)))
+        xi = jnp.pad(vi.reshape(dd, du), ((0, ddp - dd), (0, dup - du)))
+        xr = jax.lax.with_sharding_constraint(xr, sh)
+        xi = jax.lax.with_sharding_constraint(xi, sh)
+        wr, wi = mv2d(xr, xi)
+        return wr[:dd, :du].reshape(-1), wi[:dd, :du].reshape(-1)
+
+    return mv
+
+
 def sharded_matvec_large_real_flat(op: SectorOperator, mesh: Mesh,
                                    axis: str = "dw", dtype=jnp.float32):
     """Flat [dim] -> [dim] closure over the sharded block-sparse kernel,

@@ -112,6 +112,20 @@ def periodize_sigma_scheme(cfg: EDConfig, kpoint, coords: np.ndarray,
 
 
 @complex_safe
+def build_g_sigma_scheme(cfg: EDConfig, kpoint, coords: np.ndarray,
+                         hk_per: np.ndarray, smats_nnn: np.ndarray,
+                         z: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(G_per, Sigma_per) with Sigma periodized first and G rebuilt from
+    it — the reference's fourth scheme (build_g_sigma_scheme,
+    auxiliary_routines.f90:164-193).  Identical math to
+    :func:`periodize_sigma_scheme`, returned in the (G, Sigma) order the
+    reference uses."""
+    g_per, s_per = periodize_sigma_scheme(cfg, kpoint, coords, hk_per,
+                                          smats_nnn, z)
+    return g_per, s_per
+
+
+@complex_safe
 def periodize_m_scheme(cfg: EDConfig, kpoint, cell_pos: np.ndarray,
                        site_sub: np.ndarray, nsub: int,
                        s_nnn: np.ndarray, z: np.ndarray

@@ -109,6 +109,9 @@ class EDSolver:
         assert_nnn_shape(np.asarray(hloc_nnn), cfg.nlat, cfg.nspin, cfg.norb,
                          "Hloc")
         self.imp_hloc = np.asarray(hloc_nnn, dtype=np.complex128)
+        if self.hb is not None and not bath_mod.check_bath_dimension(
+                cfg, self.hb.nsym, np.asarray(bath_array)):
+            raise ValueError("wrong bath dimensions")
         self.bath = bath_mod.unpack_dmft_bath(cfg, bath_array)
         bath_mod.save_dmft_bath(cfg, self.bath, os.path.join(
             cfg.work_dir, cfg.hfile + cfg.ed_file_suffix + ".used"))

@@ -296,6 +296,42 @@ def test_sharded_large_matvec_with_jxjp():
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
+def test_sharded_large_pair_matvec_complex():
+    """Complex sharded block-sparse kernel (Karatsuba tiles) == oracle."""
+    from jax.sharding import Mesh
+    from cdmft_lanc_ed_tpu.parallel import sharded_large
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), ("dw",))
+    _, op = _hubbard_op(2, 2, nbath=1, complex_h=True)
+    mv = sharded_large.sharded_matvec_large_pair_flat(
+        op, mesh, dtype=jnp.float64)
+    rng = np.random.default_rng(12)
+    v = rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim)
+    wr, wi = mv(jnp.asarray(v.real), jnp.asarray(v.imag))
+    got = np.asarray(wr) + 1j * np.asarray(wi)
+    np.testing.assert_allclose(got, op.matvec_np(v), rtol=1e-12,
+                               atol=1e-12)
+
+
+def test_sharded_large_pair_with_jxjp():
+    from jax.sharding import Mesh
+    from cdmft_lanc_ed_tpu.parallel import sharded_large
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), ("dw",))
+    _, op = _hubbard_op(2, 2, nbath=1, jh=0.3, complex_h=True)
+    assert op.nd_terms
+    mv = sharded_large.sharded_matvec_large_pair_flat(
+        op, mesh, dtype=jnp.float64)
+    rng = np.random.default_rng(13)
+    v = rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim)
+    wr, wi = mv(jnp.asarray(v.real), jnp.asarray(v.imag))
+    got = np.asarray(wr) + 1j * np.asarray(wi)
+    np.testing.assert_allclose(got, op.matvec_np(v), rtol=1e-12,
+                               atol=1e-12)
+
+
 def test_sharded_large_eigensolver():
     from jax.sharding import Mesh
     from cdmft_lanc_ed_tpu.ops import lanczos
