@@ -241,10 +241,12 @@ def lanczos_tridiag_batched_real(matvec_real, v0: np.ndarray, niter: int,
 def _expand_block_real(apply_fn):
     """Whole-restart CGS2 Lanczos expansion, REAL plane (see
     :func:`_expand_block_split`); ``apply_fn(op, x)`` pure.  Returns
-    projection columns [ncv, ncv] and betas [ncv]."""
+    projection columns [ncv, ncv] and betas [ncv].  The basis buffer is
+    DONATED: at large-sector scale ((ncv+1) x 1.66e8 f32) keeping input
+    and output bases alive doubles the dominant HBM term."""
     P = jax.lax.Precision.HIGHEST
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def expand(op, b, k):
         ncv1 = b.shape[0]
 
@@ -883,7 +885,7 @@ def _expand_block_split(apply_fn):
     Returns the projection columns [ncv, ncv] (re/im) and betas [ncv]."""
     P = jax.lax.Precision.HIGHEST
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def expand(op, br, bi, k):
         ncv1 = br.shape[0]
 
@@ -1005,8 +1007,14 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
         sr = jnp.asarray(np.ascontiguousarray(s[:, :k].real), dtype)
         si = jnp.asarray(np.ascontiguousarray(s[:, :k].imag), dtype)
         nr, ni = restart_basis(br, bi, sr, si)
-        br = jnp.zeros_like(br).at[:k].set(nr).at[k].set(br[ncv])
-        bi = jnp.zeros_like(bi).at[:k].set(ni).at[k].set(bi[ncv])
+        last_r, last_i = br[ncv], bi[ncv]
+        # release the OLD planes before allocating the new ones (peak-HBM
+        # control, same as the real-plane restart)
+        br = bi = None
+        shp = (ncv + 1, nr.shape[1])
+        br = jnp.zeros(shp, dtype).at[:k].set(nr).at[k].set(last_r)
+        bi = jnp.zeros(shp, dtype).at[:k].set(ni).at[k].set(last_i)
+        del nr, ni, last_r, last_i
         t_proj[:] = 0.0
         t_proj[:k, :k] = np.diag(theta[:k])
         b_row = last_beta * s[-1, :k].conj()
