@@ -40,6 +40,28 @@ def _as_applier(matvec, op):
     return (lambda _o, *xs: matvec(*xs)), 0, False
 
 
+@functools.lru_cache(maxsize=None)
+def _basis_init(ncv1: int, dim: int, dtype):
+    """Jitted zeros+set-row: EAGER `.at[0].set` copies the whole basis,
+    briefly doubling the dominant HBM term at large-sector scale."""
+    @jax.jit
+    def init(v):
+        return jnp.zeros((ncv1, dim), dtype).at[0].set(v.astype(dtype))
+    return init
+
+
+@functools.lru_cache(maxsize=None)
+def _basis_restart_pack(ncv1: int, k: int, dtype):
+    """Jitted restart reassembly (zeros + two sets fuse into ONE output
+    buffer; the eager form allocates three full-basis copies)."""
+    @jax.jit
+    def pack(nb, last):
+        dim = nb.shape[1]
+        return jnp.zeros((ncv1, dim), dtype).at[:k].set(nb) \
+            .at[k].set(last)
+    return pack
+
+
 # ---------------------------------------------------------------------------
 # plain Lanczos tridiagonalisation (no reorth) — GF resolvent kernel
 # ---------------------------------------------------------------------------
@@ -320,8 +342,7 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
     v0 = np.real(np.asarray(v0))
     v0 = v0 / np.linalg.norm(v0)
 
-    basis = jnp.zeros((ncv + 1, dim), dtype).at[0].set(
-        jnp.asarray(v0, dtype))
+    basis = _basis_init(ncv + 1, dim, dtype)(jnp.asarray(v0, dtype))
     t_proj = np.zeros((ncv, ncv))
     apply_fn, opd, cached = _as_applier(matvec_real, op)
     expand = (_expand_block_real(apply_fn) if cached
@@ -373,8 +394,7 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
         # both doubles the peak HBM (at dim 1.66e8 / ncv=10 that is the
         # difference between fitting in 16 GB and OOM)
         basis = None
-        basis = jnp.zeros((ncv + 1, nb.shape[1]), dtype) \
-            .at[:k].set(nb).at[k].set(last_row)
+        basis = _basis_restart_pack(ncv + 1, k, dtype)(nb, last_row)
         del nb, last_row
         t_proj[:] = 0.0
         t_proj[:k, :k] = np.diag(theta[:k])
@@ -960,10 +980,8 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
         v0 = np.stack([np.real(v0), np.imag(v0)])
     v0 = v0 / np.linalg.norm(v0)
 
-    br = jnp.zeros((ncv + 1, dim), dtype).at[0].set(
-        jnp.asarray(v0[0], dtype))
-    bi = jnp.zeros((ncv + 1, dim), dtype).at[0].set(
-        jnp.asarray(v0[1], dtype))
+    br = _basis_init(ncv + 1, dim, dtype)(jnp.asarray(v0[0], dtype))
+    bi = _basis_init(ncv + 1, dim, dtype)(jnp.asarray(v0[1], dtype))
     t_proj = np.zeros((ncv, ncv), dtype=np.complex128)
     apply_fn, opd, cached = _as_applier(matvec_pair, op)
     expand = (_expand_block_split(apply_fn) if cached
@@ -1011,9 +1029,8 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
         # release the OLD planes before allocating the new ones (peak-HBM
         # control, same as the real-plane restart)
         br = bi = None
-        shp = (ncv + 1, nr.shape[1])
-        br = jnp.zeros(shp, dtype).at[:k].set(nr).at[k].set(last_r)
-        bi = jnp.zeros(shp, dtype).at[:k].set(ni).at[k].set(last_i)
+        br = _basis_restart_pack(ncv + 1, k, dtype)(nr, last_r)
+        bi = _basis_restart_pack(ncv + 1, k, dtype)(ni, last_i)
         del nr, ni, last_r, last_i
         t_proj[:] = 0.0
         t_proj[:k, :k] = np.diag(theta[:k])
