@@ -342,44 +342,52 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
             use_mesh = (mesh is not None and "dw" in mesh.shape
                         and dim >= 64 * cfg.lanc_dim_threshold)
             is_large = max(op.dim_up, op.dim_dw) > split.DENSE_FACTOR_MAX
-            mv_large_sh = None
-            mv_large_sh_pair = None
+            op_large_sh = None
+            op_large_sh_pair = None
             if use_mesh and is_large:
                 # large factors: block-sparse sharded kernels (per-chip
                 # operator memory = the tile set, not O(Dim_s^2) dense
                 # replicas); real sectors get the one-plane kernel,
-                # complex sectors the Karatsuba pair kernel
-                from .parallel.sharded_large import (
-                    sharded_matvec_large_pair_flat,
-                    sharded_matvec_large_real_flat)
+                # complex sectors the Karatsuba pair kernel.  Operators
+                # are PYTREES passed as eigensolver arguments (closure
+                # capture would inline them as HLO constants).
+                from .parallel import sharded_large as sl
                 ldtype = (jnp.float64 if cfg.ed_precision != "mixed"
                           else jnp.float32)
-                mv_large_sh = sharded_matvec_large_real_flat(
+                op_large_sh = sl.build_sharded_large_real(
                     op, mesh, dtype=ldtype)
-                if mv_large_sh is None:
-                    mv_large_sh_pair = sharded_matvec_large_pair_flat(
+                if op_large_sh is None:
+                    op_large_sh_pair = sl.build_sharded_large_pair(
                         op, mesh, dtype=jnp.float64)
-            if mv_large_sh_pair is not None:
+            if op_large_sh_pair is not None:
+                from .parallel import sharded_large as sl
                 res = lanczos.lanczos_eigh_split(
-                    mv_large_sh_pair, dim, neigen=neigen, ncv=nblock,
-                    maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
-            elif mv_large_sh is not None:
+                    sl.apply_sharded_large_pair_flat, dim,
+                    neigen=neigen, ncv=nblock,
+                    maxiter=nitermax * nblock, tol=cfg.lanc_tolerance,
+                    op=op_large_sh_pair)
+            elif op_large_sh is not None:
+                from .parallel import sharded_large as sl
                 # device_vectors: retained eigenvectors stay sharded on
                 # the mesh after the solve (the reference keeps them
                 # distributed, ED_EIGENSPACE.f90:499-569)
                 if cfg.ed_precision == "mixed":
-                    from .parallel.sharded_large import (
-                        sharded_matvec_large_real_flat as _slr)
-                    mv64 = _slr(op, mesh, dtype=jnp.float64)
+                    op64_sh = sl.build_sharded_large_real(
+                        op, mesh, dtype=jnp.float64)
                     res = lanczos.lanczos_eigh_mixed_real(
-                        mv_large_sh, mv64, dim, neigen=neigen,
-                        ncv=nblock, maxiter=nitermax * nblock,
-                        tol=cfg.lanc_tolerance, device_vectors=True)
+                        sl.apply_sharded_large_real_flat,
+                        sl.apply_sharded_large_real_flat, dim,
+                        neigen=neigen, ncv=nblock,
+                        maxiter=nitermax * nblock,
+                        tol=cfg.lanc_tolerance, op32=op_large_sh,
+                        op64=op64_sh, device_vectors=True)
                 else:
                     res = lanczos.lanczos_eigh_real(
-                        mv_large_sh, dim, neigen=neigen, ncv=nblock,
+                        sl.apply_sharded_large_real_flat, dim,
+                        neigen=neigen, ncv=nblock,
                         maxiter=nitermax * nblock,
-                        tol=cfg.lanc_tolerance, device_vectors=True)
+                        tol=cfg.lanc_tolerance, op=op_large_sh,
+                        device_vectors=True)
             elif use_mesh and not is_large:
                 # large sector: shard the vector along dw over the mesh
                 from .parallel.sharded_spmv import (

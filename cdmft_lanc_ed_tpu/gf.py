@@ -319,16 +319,18 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                     mesh = multichip.get_solver_mesh()
                     if mesh is not None and "dw" in mesh.shape \
                             and split_mod.op_is_real(op):
-                        from .parallel.sharded_large import (
-                            sharded_matvec_large_real_flat)
-                        mv_sh = sharded_matvec_large_real_flat(
+                        from .parallel import sharded_large as sl
+                        op_sh = sl.build_sharded_large_real(
                             op, mesh, dtype=gf_dtype)
                         dd_, du_ = op.dim_dw, op.dim_up
 
-                        def app_sh(_op, xb, _mv=mv_sh):
-                            return jax.lax.map(_mv, xb)
+                        def app_sh(o, xb):
+                            return jax.lax.map(
+                                lambda v:
+                                sl.apply_sharded_large_real_flat(o, v),
+                                xb)
 
-                        op_cache[key] = (app_sh, 0, dd_ * du_,
+                        op_cache[key] = (app_sh, op_sh, dd_ * du_,
                                          lambda v: v, lambda v: v, True)
                         return op_cache[key]
                 if key[2]:

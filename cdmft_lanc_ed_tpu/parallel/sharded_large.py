@@ -112,8 +112,12 @@ def make_sharded_matvec_large_real(op: SectorOperator, mesh: Mesh,
                                   concat_axis=2, tiled=True)[0]
         return out + back
 
+    # operands are explicit jit ARGUMENTS: closure-captured device arrays
+    # are inlined as HLO constants, which overflows the remote compiler at
+    # large-sector sizes (and would recompile per bath update)
     @jax.jit
-    def matvec(x):
+    def matvec_args(diag_l, up_rb, up_cb, up_fs, up_tiles, dw_rb, dw_cb,
+                    dw_fs, dw_tiles, amp_l, us_l, ug_l, ds_l, dg_l, x):
         return jax.shard_map(
             kernel, mesh=mesh,
             in_specs=(P(axis, None), P(None), P(None), P(None),
@@ -123,8 +127,13 @@ def make_sharded_matvec_large_real(op: SectorOperator, mesh: Mesh,
                       P(axis, None)),
             out_specs=P(axis, None),
             check_vma=False,
-        )(diag_d, up_rb, up_cb, up_fs, up_tiles, dw_rb, dw_cb, dw_fs,
-          dw_tiles, amp_d, us_d, ug_d, ds_d, dg_d, x)
+        )(diag_l, up_rb, up_cb, up_fs, up_tiles, dw_rb, dw_cb, dw_fs,
+          dw_tiles, amp_l, us_l, ug_l, ds_l, dg_l, x)
+
+    def matvec(x):
+        return matvec_args(diag_d, up_rb, up_cb, up_fs, up_tiles, dw_rb,
+                           dw_cb, dw_fs, dw_tiles, amp_d, us_d, ug_d,
+                           ds_d, dg_d, x)
 
     return matvec, sh, (ddp, dup)
 
@@ -216,8 +225,9 @@ def make_sharded_matvec_large_pair(op: SectorOperator, mesh: Mesh,
                                   split_axis=1, concat_axis=2, tiled=True)
         return out_r + back[0], out_i + back[1]
 
+    # operands as explicit jit arguments (no giant HLO constants)
     @jax.jit
-    def matvec(xr, xi):
+    def matvec_args(*ops_and_x):
         return jax.shard_map(
             kernel, mesh=mesh,
             in_specs=(P(axis, None), P(None), P(None), P(None),
@@ -229,9 +239,12 @@ def make_sharded_matvec_large_pair(op: SectorOperator, mesh: Mesh,
                       P(None, None), P(axis, None), P(axis, None)),
             out_specs=(P(axis, None), P(axis, None)),
             check_vma=False,
-        )(diag_d, up_rb, up_cb, up_fs, u_tr, u_ti, u_ts, dw_rb, dw_cb,
-          dw_fs, d_tr, d_ti, d_ts, amp_r, amp_i, us_d, ug_d, ds_d, dg_d,
-          xr, xi)
+        )(*ops_and_x)
+
+    def matvec(xr, xi):
+        return matvec_args(diag_d, up_rb, up_cb, up_fs, u_tr, u_ti, u_ts,
+                           dw_rb, dw_cb, dw_fs, d_tr, d_ti, d_ts, amp_r,
+                           amp_i, us_d, ug_d, ds_d, dg_d, xr, xi)
 
     return matvec, sh, (ddp, dup)
 
@@ -271,3 +284,245 @@ def sharded_matvec_large_real_flat(op: SectorOperator, mesh: Mesh,
         return mv2d(x)[:dd, :du].reshape(-1)
 
     return mv
+
+
+# ---------------------------------------------------------------------------
+# operator-as-pytree form: the eigensolvers jit their expansion around the
+# matvec, and a CLOSURE-captured operator is inlined as HLO constants
+# (overflowing the remote compiler at Ns>=16 scale).  The pytree form
+# passes the sharded arrays as arguments; the mesh/axis/dims live in the
+# static aux so one compiled expansion is shared across sectors and
+# bath updates.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class ShardedLargeRealOp:
+    """Sharded block-sparse REAL sector operator (pytree; aux = static
+    mesh/axis/dims/term-count)."""
+
+    _FIELDS = ("diag", "up_rb", "up_cb", "up_fs", "up_tiles", "dw_rb",
+               "dw_cb", "dw_fs", "dw_tiles", "amp", "us", "ug", "ds",
+               "dg")
+
+    def __init__(self, arrays, mesh, axis, dd, du, ddp, dup, t):
+        self.arrays = tuple(arrays)
+        self.mesh = mesh
+        self.axis = axis
+        self.dd, self.du, self.ddp, self.dup, self.t = dd, du, ddp, dup, t
+
+    def tree_flatten(self):
+        return self.arrays, (self.mesh, self.axis, self.dd, self.du,
+                             self.ddp, self.dup, self.t)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children, *aux)
+
+
+def build_sharded_large_real(op: SectorOperator, mesh: Mesh,
+                             axis: str = "dw", dtype=jnp.float32):
+    """ShardedLargeRealOp for :func:`apply_sharded_large_real_flat`, or
+    None when the sector Hamiltonian is not real."""
+    if not op_is_real(op):
+        return None
+    ndev = mesh.shape[axis]
+    fu, fd = _factor_arrays(op, real=True, dtype=dtype)
+    ddp, dup = fd.nb * B, fu.nb * B
+    assert ddp % ndev == 0 and dup % ndev == 0
+    diag = np.full((ddp, dup), large._PAD_DIAG)
+    diag[:op.dim_dw, :op.dim_up] = op.diag()
+    amp, us, ug, ds, dg = large._nd_maps(op, dup, ddp)
+    sh = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P(None))
+    rep2 = NamedSharding(mesh, P(None, None))
+    rep3 = NamedSharding(mesh, P(None, None, None))
+    arrays = (
+        jax.device_put(jnp.asarray(diag, dtype), sh),
+        jax.device_put(jnp.asarray(fu.row_blk), rep),
+        jax.device_put(jnp.asarray(fu.col_blk), rep),
+        jax.device_put(jnp.asarray(fu.first), rep),
+        jax.device_put(jnp.asarray(fu.tiles, dtype), rep3),
+        jax.device_put(jnp.asarray(fd.row_blk), rep),
+        jax.device_put(jnp.asarray(fd.col_blk), rep),
+        jax.device_put(jnp.asarray(fd.first), rep),
+        jax.device_put(jnp.asarray(fd.tiles, dtype), rep3),
+        jax.device_put(jnp.asarray(amp.real, dtype), rep),
+        jax.device_put(jnp.asarray(us), rep2),
+        jax.device_put(jnp.asarray(ug), rep2),
+        jax.device_put(jnp.asarray(ds), rep2),
+        jax.device_put(jnp.asarray(dg), rep2),
+    )
+    return ShardedLargeRealOp(arrays, mesh, axis, op.dim_dw, op.dim_up,
+                              ddp, dup, len(op.nd_terms))
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedLargePairOp:
+    """Sharded block-sparse COMPLEX sector operator (split Karatsuba
+    tiles; pytree with static mesh/axis/dims aux)."""
+
+    def __init__(self, arrays, mesh, axis, dd, du, ddp, dup, t):
+        self.arrays = tuple(arrays)
+        self.mesh = mesh
+        self.axis = axis
+        self.dd, self.du, self.ddp, self.dup, self.t = dd, du, ddp, dup, t
+
+    def tree_flatten(self):
+        return self.arrays, (self.mesh, self.axis, self.dd, self.du,
+                             self.ddp, self.dup, self.t)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children, *aux)
+
+
+def build_sharded_large_pair(op: SectorOperator, mesh: Mesh,
+                             axis: str = "dw", dtype=jnp.float32):
+    """ShardedLargePairOp for :func:`apply_sharded_large_pair_flat`."""
+    ndev = mesh.shape[axis]
+    fu, fd = _factor_arrays(op, real=False, dtype=dtype)
+    ddp, dup = fd.nb * B, fu.nb * B
+    assert ddp % ndev == 0 and dup % ndev == 0
+    diag = np.full((ddp, dup), large._PAD_DIAG)
+    diag[:op.dim_dw, :op.dim_up] = op.diag()
+    amp, us, ug, ds, dg = large._nd_maps(op, dup, ddp)
+    sh = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P(None))
+    rep2 = NamedSharding(mesh, P(None, None))
+    rep3 = NamedSharding(mesh, P(None, None, None))
+
+    def planes(f):
+        return (jax.device_put(jnp.asarray(f.tiles.real, dtype), rep3),
+                jax.device_put(jnp.asarray(f.tiles.imag, dtype), rep3),
+                jax.device_put(jnp.asarray(f.tiles.real + f.tiles.imag,
+                                           dtype), rep3))
+
+    arrays = (
+        jax.device_put(jnp.asarray(diag, dtype), sh),
+        jax.device_put(jnp.asarray(fu.row_blk), rep),
+        jax.device_put(jnp.asarray(fu.col_blk), rep),
+        jax.device_put(jnp.asarray(fu.first), rep),
+        *planes(fu),
+        jax.device_put(jnp.asarray(fd.row_blk), rep),
+        jax.device_put(jnp.asarray(fd.col_blk), rep),
+        jax.device_put(jnp.asarray(fd.first), rep),
+        *planes(fd),
+        jax.device_put(jnp.asarray(amp.real, dtype), rep),
+        jax.device_put(jnp.asarray(amp.imag, dtype), rep),
+        jax.device_put(jnp.asarray(us), rep2),
+        jax.device_put(jnp.asarray(ug), rep2),
+        jax.device_put(jnp.asarray(ds), rep2),
+        jax.device_put(jnp.asarray(dg), rep2),
+    )
+    return ShardedLargePairOp(arrays, mesh, axis, op.dim_dw, op.dim_up,
+                              ddp, dup, len(op.nd_terms))
+
+
+def apply_sharded_large_pair_flat(op: ShardedLargePairOp, vr: jax.Array,
+                                  vi: jax.Array):
+    """Pure flat split-pair matvec over the sharded Karatsuba kernel;
+    ``op`` is a pytree ARGUMENT (jit-safe at any size)."""
+    mesh, axis, t = op.mesh, op.axis, op.t
+    dd, du, ddp, dup = op.dd, op.du, op.ddp, op.dup
+
+    def kernel(diag_l, up_rb, up_cb, up_fs, u_tr, u_ti, u_ts,
+               dw_rb, dw_cb, dw_fs, d_tr, d_ti, d_ts, amp_r, amp_i,
+               us_l, ug_l, ds_l, dg_l, xr, xi):
+        xs = xr + xi
+        nb_u, nb_d = dup // B, ddp // B
+        xrt, xit, xst = xr.T, xi.T, xs.T
+        q1 = large._blk_spmm(up_rb, up_cb, up_fs, u_tr, xrt, nb_u).T
+        q2 = large._blk_spmm(up_rb, up_cb, up_fs, u_ti, xit, nb_u).T
+        q3 = large._blk_spmm(up_rb, up_cb, up_fs, u_ts, xst, nb_u).T
+        out_r = diag_l * xr + (q1 - q2)
+        out_i = diag_l * xi + (q3 - q1 - q2)
+        pay = [xr, xi]
+        for ti_ in range(t):
+            for plane_t in (xrt, xit):
+                tu = plane_t[jnp.maximum(us_l[ti_], 0)] \
+                    * ug_l[ti_][:, None].astype(xr.dtype)
+                pay.append(tu.T)
+        pt = jax.lax.all_to_all(jnp.stack(pay), axis, split_axis=2,
+                                concat_axis=1, tiled=True)
+        vtr, vti = pt[0], pt[1]
+        vts = vtr + vti
+        p1 = large._blk_spmm(dw_rb, dw_cb, dw_fs, d_tr, vtr, nb_d)
+        p2 = large._blk_spmm(dw_rb, dw_cb, dw_fs, d_ti, vti, nb_d)
+        p3 = large._blk_spmm(dw_rb, dw_cb, dw_fs, d_ts, vts, nb_d)
+        ytr = p1 - p2
+        yti = p3 - p1 - p2
+        for ti_ in range(t):
+            sgn = dg_l[ti_][:, None].astype(xr.dtype)
+            zr = pt[2 + 2 * ti_][jnp.maximum(ds_l[ti_], 0)] * sgn
+            zi = pt[3 + 2 * ti_][jnp.maximum(ds_l[ti_], 0)] * sgn
+            ytr = ytr + amp_r[ti_] * zr - amp_i[ti_] * zi
+            yti = yti + amp_r[ti_] * zi + amp_i[ti_] * zr
+        back = jax.lax.all_to_all(jnp.stack([ytr, yti]), axis,
+                                  split_axis=1, concat_axis=2, tiled=True)
+        return out_r + back[0], out_i + back[1]
+
+    sh = NamedSharding(mesh, P(axis, None))
+    xr = jnp.pad(vr.reshape(dd, du), ((0, ddp - dd), (0, dup - du)))
+    xi = jnp.pad(vi.reshape(dd, du), ((0, ddp - dd), (0, dup - du)))
+    xr = jax.lax.with_sharding_constraint(xr, sh)
+    xi = jax.lax.with_sharding_constraint(xi, sh)
+    wr, wi = jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(axis, None), P(None), P(None), P(None),
+                  P(None, None, None), P(None, None, None),
+                  P(None, None, None), P(None), P(None), P(None),
+                  P(None, None, None), P(None, None, None),
+                  P(None, None, None), P(None), P(None),
+                  P(None, None), P(None, None), P(None, None),
+                  P(None, None), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,
+    )(*op.arrays, xr, xi)
+    return wr[:dd, :du].reshape(-1), wi[:dd, :du].reshape(-1)
+
+
+def apply_sharded_large_real_flat(op: ShardedLargeRealOp,
+                                  v: jax.Array) -> jax.Array:
+    """Pure flat matvec [dim] -> [dim] over the sharded block-sparse
+    kernel; ``op`` is a pytree ARGUMENT (jit-safe at any size)."""
+    mesh, axis, t = op.mesh, op.axis, op.t
+    dd, du, ddp, dup = op.dd, op.du, op.ddp, op.dup
+
+    def kernel(diag_l, up_rb, up_cb, up_fs, up_tiles, dw_rb, dw_cb,
+               dw_fs, dw_tiles, amp_l, us_l, ug_l, ds_l, dg_l, x):
+        out = diag_l * x
+        xt = x.T
+        yt = large._blk_spmm(up_rb, up_cb, up_fs, up_tiles, xt, dup // B)
+        out = out + yt.T
+        pay = [x]
+        for ti in range(t):
+            tu = xt[jnp.maximum(us_l[ti], 0)] \
+                * ug_l[ti][:, None].astype(x.dtype)
+            pay.append(tu.T)
+        payload = jnp.stack(pay)
+        pt = jax.lax.all_to_all(payload, axis, split_axis=2,
+                                concat_axis=1, tiled=True)
+        yt2 = large._blk_spmm(dw_rb, dw_cb, dw_fs, dw_tiles, pt[0],
+                              ddp // B)
+        for ti in range(t):
+            yt2 = yt2 + amp_l[ti] * (
+                pt[1 + ti][jnp.maximum(ds_l[ti], 0)]
+                * dg_l[ti][:, None].astype(x.dtype))
+        back = jax.lax.all_to_all(yt2[None], axis, split_axis=1,
+                                  concat_axis=2, tiled=True)[0]
+        return out + back
+
+    x = jnp.pad(v.reshape(dd, du), ((0, ddp - dd), (0, dup - du)))
+    x = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(axis, None)))
+    out = jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(axis, None), P(None), P(None), P(None),
+                  P(None, None, None), P(None), P(None), P(None),
+                  P(None, None, None), P(None), P(None, None),
+                  P(None, None), P(None, None), P(None, None),
+                  P(axis, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(*op.arrays, x)
+    return out[:dd, :du].reshape(-1)

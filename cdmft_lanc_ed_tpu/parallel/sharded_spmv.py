@@ -156,8 +156,10 @@ def make_sharded_matvec(op: DeviceSectorOp, mesh: Mesh, axis: str = "dw"):
 
     kernel = shard_local_kernel(axis)
 
+    # operands as explicit jit arguments: closure-captured device arrays
+    # inline as HLO constants (overflows the remote compiler at scale)
     @jax.jit
-    def matvec(v):
+    def matvec_args(*ops_and_v):
         return jax.shard_map(
             kernel, mesh=mesh,
             in_specs=tuple(spec_of[k] for k in
@@ -166,9 +168,13 @@ def make_sharded_matvec(op: DeviceSectorOp, mesh: Mesh, axis: str = "dw"):
                             "nd_dw_src", "nd_dw_sgn")) + (P(axis, None),),
             out_specs=P(axis, None),
             check_vma=False,
-        )(op_sh.diag, op_sh.up_cols, op_sh.up_vals, op_sh.dw_cols,
-          op_sh.dw_vals, op_sh.nd_amp, op_sh.nd_up_src, op_sh.nd_up_sgn,
-          op_sh.nd_dw_src, op_sh.nd_dw_sgn, v)
+        )(*ops_and_v)
+
+    def matvec(v):
+        return matvec_args(
+            op_sh.diag, op_sh.up_cols, op_sh.up_vals, op_sh.dw_cols,
+            op_sh.dw_vals, op_sh.nd_amp, op_sh.nd_up_src, op_sh.nd_up_sgn,
+            op_sh.nd_dw_src, op_sh.nd_dw_sgn, v)
 
     return matvec, sh
 
@@ -260,7 +266,7 @@ def make_sharded_matvec_dense_pair(op: SectorOperator, mesh: Mesh,
         return out_r + back[0], out_i + back[1]
 
     @jax.jit
-    def matvec(xr, xi):
+    def matvec_args(*ops_and_x):
         return jax.shard_map(
             kernel, mesh=mesh,
             in_specs=(P(axis, None), P(None, None), P(None, None),
@@ -268,7 +274,11 @@ def make_sharded_matvec_dense_pair(op: SectorOperator, mesh: Mesh,
                       P(None, None, None), P(axis, None), P(axis, None)),
             out_specs=(P(axis, None), P(axis, None)),
             check_vma=False,
-        )(diag_d, hupT_r, hupT_i, hdw_r, hdw_i, nd_upT_d, nd_dw_d, xr, xi)
+        )(*ops_and_x)
+
+    def matvec(xr, xi):
+        return matvec_args(diag_d, hupT_r, hupT_i, hdw_r, hdw_i,
+                           nd_upT_d, nd_dw_d, xr, xi)
 
     return matvec, sh, (dd, du)
 
@@ -366,7 +376,7 @@ def make_sharded_matvec_dense_real(op: SectorOperator, mesh: Mesh,
         return out + back
 
     @jax.jit
-    def matvec(x):
+    def matvec_args(*ops_and_x):
         return jax.shard_map(
             kernel, mesh=mesh,
             in_specs=(P(axis, None), P(None, None), P(None, None),
@@ -374,7 +384,10 @@ def make_sharded_matvec_dense_real(op: SectorOperator, mesh: Mesh,
                       P(axis, None)),
             out_specs=P(axis, None),
             check_vma=False,
-        )(diag_d, hupT, hdw, nd_upT_d, nd_dw_d, x)
+        )(*ops_and_x)
+
+    def matvec(x):
+        return matvec_args(diag_d, hupT, hdw, nd_upT_d, nd_dw_d, x)
 
     return matvec, sh, (dd, du)
 
