@@ -341,19 +341,19 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
             mesh = multichip.get_solver_mesh()
             use_mesh = (mesh is not None and "dw" in mesh.shape
                         and dim >= 64 * cfg.lanc_dim_threshold)
-            is_large = max(op.dim_up, op.dim_dw) > split.DENSE_FACTOR_MAX
             op_large_sh = None
             op_large_sh_pair = None
-            if use_mesh and is_large:
-                # large factors: block-sparse sharded kernels (per-chip
-                # operator memory = the tile set, not O(Dim_s^2) dense
-                # replicas); real sectors get the one-plane kernel,
-                # complex sectors the Karatsuba pair kernel.  Operators
-                # are PYTREES passed as eigensolver arguments (closure
-                # capture would inline them as HLO constants).
+            if use_mesh:
+                # mesh solve: block-sparse sharded kernels for EVERY
+                # sector size (per-chip operator memory = the tile set,
+                # not O(Dim_s^2) dense replicas); real sectors get the
+                # one-plane kernel, complex sectors the Karatsuba pair
+                # kernel.  Operators are PYTREES passed as eigensolver
+                # arguments (closure capture would inline them as HLO
+                # constants, overflowing the compiler at scale).
                 from .parallel import sharded_large as sl
-                ldtype = (jnp.float64 if cfg.ed_precision != "mixed"
-                          else jnp.float32)
+                ldtype = (jnp.float32 if cfg.ed_precision == "mixed"
+                          else jnp.float64)
                 op_large_sh = sl.build_sharded_large_real(
                     op, mesh, dtype=ldtype)
                 if op_large_sh is None:
@@ -388,22 +388,6 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         maxiter=nitermax * nblock,
                         tol=cfg.lanc_tolerance, op=op_large_sh,
                         device_vectors=True)
-            elif use_mesh and not is_large:
-                # large sector: shard the vector along dw over the mesh
-                from .parallel.sharded_spmv import (
-                    sharded_matvec_pair_flat, sharded_matvec_real_flat)
-                mv_r = sharded_matvec_real_flat(op, mesh)
-                if mv_r is not None:
-                    # real H: one-plane sharded kernel (3x fewer MXU
-                    # passes, half the all-to-all payload)
-                    res = lanczos.lanczos_eigh_real(
-                        mv_r, dim, neigen=neigen, ncv=nblock,
-                        maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
-                else:
-                    mv_s = sharded_matvec_pair_flat(op, mesh)
-                    res = lanczos.lanczos_eigh_split(
-                        mv_s, dim, neigen=neigen, ncv=nblock,
-                        maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
             elif spmv.use_split_backend():
                 from .ops import split
                 import jax.numpy as jnp
