@@ -303,18 +303,35 @@ def _expand_block_real(apply_fn):
 
 @jax.jit
 def _restart_real(b, s):
-    ncv = s.shape[0]
-    return jnp.matmul(s.T, b[:ncv], precision=jax.lax.Precision.HIGHEST)
+    # out[e] = sum_k s[k, e] * b[k], accumulated row-wise: the direct
+    # [k, ncv] x [ncv, dim] matmul lowers through an O(ncv^2 * dim)
+    # intermediate on this TPU backend (observed 42 GB at dim 1.66e8)
+    ncv, ke = s.shape
+    dim = b.shape[1]
+
+    def body(k, acc):
+        return acc + s[k][:, None] * b[k][None, :]
+
+    out_dtype = jnp.result_type(b.dtype, s.dtype)
+    return jax.lax.fori_loop(0, ncv, body,
+                             jnp.zeros((ke, dim), out_dtype))
 
 
 @jax.jit
 def _restart_split(br, bi, sr, si):
-    P = jax.lax.Precision.HIGHEST
-    ncv = sr.shape[0]
-    vr, vi = br[:ncv], bi[:ncv]
-    nr = jnp.matmul(sr.T, vr, precision=P) - jnp.matmul(si.T, vi, precision=P)
-    ni = jnp.matmul(sr.T, vi, precision=P) + jnp.matmul(si.T, vr, precision=P)
-    return nr, ni
+    ncv, ke = sr.shape
+    dim = br.shape[1]
+
+    def body(k, accs):
+        nr, ni = accs
+        nr = nr + sr[k][:, None] * br[k][None, :] \
+            - si[k][:, None] * bi[k][None, :]
+        ni = ni + sr[k][:, None] * bi[k][None, :] \
+            + si[k][:, None] * br[k][None, :]
+        return nr, ni
+
+    z = jnp.zeros((ke, dim), jnp.result_type(br.dtype, sr.dtype))
+    return jax.lax.fori_loop(0, ncv, body, (z, z))
 
 
 def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
