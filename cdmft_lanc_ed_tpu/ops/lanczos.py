@@ -727,18 +727,29 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
     apply_fn, opd, _ = _as_applier(matvec_real64, op64)
     v = jnp.asarray(vecs, jnp.float64)                 # [k, dim]
     k = v.shape[0]
-    g = np.asarray(v @ v.T)
+    # k x k reductions as row-pair vdots: a [k, dim] x [dim, k] matmul
+    # pads the transposed operand to an O(8*dim) tile on this backend
+    # (observed 5.3 GB per column at dim 1.66e8)
+
+    def _gram(a, b):
+        return np.array([[float(jnp.vdot(a[i], b[j])) for j in range(k)]
+                         for i in range(k)])
+
+    g = _gram(v, v)
     ell = np.linalg.cholesky(0.5 * (g + g.T)
                              + 1e-14 * np.eye(k) * max(np.trace(g) / k, 1))
-    q = jnp.linalg.solve(jnp.asarray(ell), v)          # orthonormal rows
+    # orthonormal rows: q = L^{-1} v, accumulated row-wise
+    linv = jnp.asarray(np.linalg.inv(ell))
+    q = _restart_real(v, linv.T)                       # [k, dim]
     w = jnp.stack([apply_fn(opd, q[j]) for j in range(k)])
-    hk = np.asarray(q @ w.T)
+    hk = _gram(q, w)
     hk = 0.5 * (hk + hk.T)
     theta, s = np.linalg.eigh(hk)
     s_d = jnp.asarray(s)                               # [k, k]
-    new_vecs = (s_d.T @ q)                             # [k, dim] device
+    new_vecs = _restart_real(q, s_d)                   # [k, dim] device
+    wmix = _restart_real(w, s_d)
     resid = np.asarray(jnp.linalg.norm(
-        s_d.T @ w - new_vecs * jnp.asarray(theta)[:, None], axis=1))
+        wmix - new_vecs * jnp.asarray(theta)[:, None], axis=1))
     return theta[:neigen], new_vecs[:neigen], resid[:neigen]
 
 
