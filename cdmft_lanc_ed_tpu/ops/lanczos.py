@@ -718,6 +718,30 @@ def rayleigh_refine_real(matvec_real64, vecs: np.ndarray, neigen: int):
     return theta[:neigen], new_vecs[:neigen], resid[:neigen]
 
 
+@functools.partial(jax.jit, static_argnames=("nch",))
+def _dot_chunked_jit(a, b, nch: int):
+    n = a.shape[0]
+    chunk = n // nch
+
+    def body(i, acc):
+        sa = jax.lax.dynamic_slice(a, (i * chunk,), (chunk,))
+        sb = jax.lax.dynamic_slice(b, (i * chunk,), (chunk,))
+        return acc + jnp.sum(sa * sb)
+
+    return jax.lax.fori_loop(0, nch, body,
+                             jnp.zeros((), jnp.result_type(a, b)))
+
+
+def _dot_chunked(a, b, target: int = 1 << 23):
+    """<a, b> for real device vectors, reduced in chunks: whole-row f64
+    reductions materialise O(8*dim) f32 temps on this TPU backend."""
+    n = a.shape[0]
+    nch = 1
+    while n // nch > target and n % (nch * 2) == 0:
+        nch *= 2
+    return _dot_chunked_jit(a, b, nch)
+
+
 def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
                                 op64=None):
     """Device-resident Rayleigh-Ritz refine: ``vecs`` [k, dim] stays on
@@ -727,13 +751,14 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
     apply_fn, opd, _ = _as_applier(matvec_real64, op64)
     v = jnp.asarray(vecs, jnp.float64)                 # [k, dim]
     k = v.shape[0]
-    # k x k reductions as row-pair vdots: a [k, dim] x [dim, k] matmul
-    # pads the transposed operand to an O(8*dim) tile on this backend
-    # (observed 5.3 GB per column at dim 1.66e8)
+    # k x k reductions as CHUNKED row-pair dots: both the [k,dim]x[dim,k]
+    # matmul and a whole-row f64 vdot materialise O(8*dim) f32 temps on
+    # this backend (observed 5.3 GB at dim 1.66e8); a fori over column
+    # chunks keeps the temp at chunk size
 
     def _gram(a, b):
-        return np.array([[float(jnp.vdot(a[i], b[j])) for j in range(k)]
-                         for i in range(k)])
+        return np.array([[float(_dot_chunked(a[i], b[j]))
+                          for j in range(k)] for i in range(k)])
 
     g = _gram(v, v)
     ell = np.linalg.cholesky(0.5 * (g + g.T)
@@ -748,8 +773,10 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
     s_d = jnp.asarray(s)                               # [k, k]
     new_vecs = _restart_real(q, s_d)                   # [k, dim] device
     wmix = _restart_real(w, s_d)
-    resid = np.asarray(jnp.linalg.norm(
-        wmix - new_vecs * jnp.asarray(theta)[:, None], axis=1))
+    resid = np.array([
+        float(jnp.sqrt(_dot_chunked(
+            wmix[j] - theta[j] * new_vecs[j],
+            wmix[j] - theta[j] * new_vecs[j]))) for j in range(k)])
     return theta[:neigen], new_vecs[:neigen], resid[:neigen]
 
 
