@@ -27,26 +27,10 @@ formulation is compute-bound by design, trading FLOPs for MXU rate).
 """
 import json
 import sys
-import time
 
 import numpy as np
 
-
-def _per_step(chain, v, s_small=10, s_big=310, reps=3):
-    """Per-step time via the difference method with forced host readback:
-    on the axon tunnel, ``block_until_ready`` can return before the device
-    finishes, so absolute timings of a single program are unreliable;
-    (t(310 steps) - t(10 steps))/300 with ``np.asarray`` readback cancels
-    dispatch/transfer overhead and forces completion."""
-    for s in (s_small, s_big):
-        np.asarray(chain(v, s))          # compile + warm both shapes
-    ts = []
-    for s in (s_small, s_big):
-        t0 = time.time()
-        for _ in range(reps):
-            np.asarray(chain(v, s))
-        ts.append((time.time() - t0) / reps)
-    return (ts[1] - ts[0]) / (s_big - s_small)
+from bench_common import per_step, run_validated
 
 
 def main():
@@ -86,7 +70,7 @@ def main():
         size=(op.dim_dw, op.dim_up)) / np.sqrt(op.dim)
     v = jnp.asarray(v0)
 
-    dt = _per_step(chain, v)                             # s per H·v
+    dt, _ = per_step(chain, v, span=14000, label="kernel")  # s per H·v
     nnz_per_s = nnz / dt
 
     # --- measured same-shape bare-matmul envelope (speed-of-light for the
@@ -107,12 +91,16 @@ def main():
         c, _ = jax.lax.scan(body, x, None, length=steps)
         return c
 
-    t_env = _per_step(bare_chain, v)
+    t_env, _ = per_step(bare_chain, v, span=14000, label="envelope")
 
     flops = 2 * (dd * dd * du + du * du * dd)        # per H·v, f32
     tflops = flops / dt / 1e12
     env_tflops = flops / t_env / 1e12
     vs = t_env / dt
+    if not 0.0 < vs <= 1.05:
+        print(f"# BENCH INVALID: envelope ratio {vs:.3f} outside (0, 1.05]"
+              f" — kernel cannot beat its own bare matmuls", file=sys.stderr)
+        sys.exit(3)
     # HBM roofline for a true memory-bound SpMV formulation: every stored
     # nonzero costs >= one 4-byte read of x (ELL vals+cols ~8B/nnz of the
     # SPARSE factors + full vector r/w); stated for reconciliation only.
@@ -126,6 +114,10 @@ def main():
         "value": float(f"{nnz_per_s:.4g}"),
         "unit": "nnz/s",
         "vs_baseline": float(f"{vs:.4g}"),
+        "envelope_ratio": float(f"{vs:.4g}"),
+        "hbm_roofline_fraction": float(f"{nnz_per_s / hbm_roof_nnz:.4g}"),
+        "dt_us_per_hv": float(f"{dt*1e6:.4g}"),
+        "f32_tflops": float(f"{tflops:.4g}"),
     }))
     print(f"# production mixed-precision Krylov kernel (f32): dim={op.dim} "
           f"nnz={nnz} dt={dt*1e6:.0f}us/Hv f32_tflops={tflops:.2f} "
@@ -137,4 +129,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    run_validated(main, "bench")

@@ -17,17 +17,7 @@ from functools import partial
 
 import numpy as np
 
-
-def _per_step(chain, v, s_small=2, s_big=12, reps=2):
-    for s in (s_small, s_big):
-        np.asarray(chain(v, s)[0, :8])   # tiny readback forces completion
-    ts = []
-    for s in (s_small, s_big):
-        t0 = time.time()
-        for _ in range(reps):
-            np.asarray(chain(v, s)[0, :8])
-        ts.append((time.time() - t0) / reps)
-    return (ts[1] - ts[0]) / (s_big - s_small)
+from bench_common import per_step, run_validated
 
 
 def main():
@@ -116,7 +106,9 @@ def main():
         size=(op.dim_dw, op.dim_up)).astype(np.float32) / np.sqrt(op.dim)
     x = jnp.asarray(x0)
 
-    dt = _per_step(chain, x)
+    dt, _ = per_step(chain, x, span=40, s_small=2,
+                     readback=lambda r: np.asarray(r[0, :8]),
+                     label="large")
     nnz_per_s = nnz / dt
     # executed MXU FLOPs: per tile 2*B^2*minor per side
     td, tu = dev.dw_tiles.shape[0], dev.up_tiles.shape[0]
@@ -126,6 +118,7 @@ def main():
         "value": float(f"{nnz_per_s:.4g}"),
         "unit": "nnz/s",
         "vs_baseline": float(f"{nnz_per_s / 1e9 / 100.0:.4g}"),
+        "dt_ms_per_hv": float(f"{dt*1e3:.4g}"),
     }))
     print(f"# dt={dt*1e3:.1f}ms/Hv executed_f32_tflops="
           f"{flops/dt/1e12:.2f} device={jax.devices()[0].device_kind}",
@@ -133,4 +126,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    run_validated(main, "bench_large")

@@ -309,29 +309,47 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                 op = build(jnup, jndw)
                 is_large = max(op.dim_up, op.dim_dw) \
                     > split_mod.DENSE_FACTOR_MAX
-                # mesh routing: large real sectors run the GF matvec
-                # sharded over the solver mesh (same all-to-all transpose
-                # kernel as the diagonalization; the reference reuses its
-                # MPI matvec here, ED_GF_NORMAL.f90:208-215).  Injections
-                # are applied sequentially (lax.map), each H·v sharded.
-                if is_large and key[2]:
+                # mesh routing: large sectors run the GF matvec sharded
+                # over the solver mesh (same all-to-all transpose kernel
+                # as the diagonalization; the reference reuses its MPI
+                # matvec here, ED_GF_NORMAL.f90:208-215 — for complex
+                # sectors identically, ED_HAMILTONIAN_SPARSE_HxV.f90:
+                # 230-315).  Injection batches are FOLDED into the SpMM
+                # minor axis of the sharded kernel (one wide SpMM per
+                # side per shard), matching the single-chip batched path.
+                if is_large:
                     from .parallel import multichip
                     mesh = multichip.get_solver_mesh()
-                    if mesh is not None and "dw" in mesh.shape \
-                            and split_mod.op_is_real(op):
+                    if mesh is not None and "dw" in mesh.shape:
                         from .parallel import sharded_large as sl
-                        op_sh = sl.build_sharded_large_real(
-                            op, mesh, dtype=gf_dtype)
-                        dd_, du_ = op.dim_dw, op.dim_up
-
-                        def app_sh(o, xb):
-                            return jax.lax.map(
-                                lambda v:
-                                sl.apply_sharded_large_real_flat(o, v),
-                                xb)
-
-                        op_cache[key] = (app_sh, op_sh, dd_ * du_,
-                                         lambda v: v, lambda v: v, True)
+                        dim_ = op.dim_dw * op.dim_up
+                        ident = lambda v: v   # noqa: E731
+                        if key[2]:
+                            # real injections on a real H: one-plane
+                            # sharded kernel (only reachable when the
+                            # sector is real — key[2] implies want_real)
+                            if split_mod.op_is_real(op):
+                                op_sh = sl.build_sharded_large_real(
+                                    op, mesh, dtype=gf_dtype)
+                                op_cache[key] = (
+                                    sl.apply_sharded_large_real_flat_batched,
+                                    op_sh, dim_, ident, ident, True)
+                            else:
+                                op_cache[key] = None
+                        elif split_mod.op_is_real(op):
+                            # complex injections, real H: planes never mix
+                            op_sh = sl.build_sharded_large_real(
+                                op, mesh, dtype=gf_dtype)
+                            op_cache[key] = (
+                                sl.apply_sharded_large_realpair_flat_batched,
+                                op_sh, dim_, ident, ident, True)
+                        else:
+                            # complex H: sharded Karatsuba pair kernel
+                            op_sh = sl.build_sharded_large_pair(
+                                op, mesh, dtype=gf_dtype)
+                            op_cache[key] = (
+                                sl.apply_sharded_large_pair_flat_batched,
+                                op_sh, dim_, ident, ident, True)
                         return op_cache[key]
                 if key[2]:
                     kit = (large_mod.build_real_padded_large(

@@ -9,8 +9,18 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The session harness pre-imports jax with the axon/TPU platform pinned via
 # sitecustomize; env vars alone are too late, so force CPU here.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_cwd(tmp_path, monkeypatch):
+    """Run every test from a scratch cwd so writers with the default
+    ``work_dir='.'`` (reference parity: the Fortran code writes to cwd)
+    never litter the repo root with fit_*/chi2fit_* output files."""
+    monkeypatch.chdir(tmp_path)
+    yield

