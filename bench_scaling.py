@@ -45,38 +45,61 @@ def main():
     _, op = ge._plaquette_bath_op(nbath=args.nbath, nup=args.nup,
                                   ndw=args.ndw)
     devices = jax.devices()
+    kind = devices[0].device_kind
+    cpu_virtual = devices[0].platform == "cpu" and len(devices) > 1
+    platform = "cpu-virtual" if cpu_virtual else kind
+    note = ("N virtual devices share one CPU socket: per-device compute "
+            "contends for the same cores, so efficiency_vs_1 measures "
+            "host contention, NOT interconnect scaling; the gate on this "
+            "platform is the oracle-exactness assertion per row"
+            ) if cpu_virtual else ""
     sizes = [n for n in (1, 2, 4, 8, 16) if n <= len(devices)]
+    overlaps = sorted({0, args.overlap})
     rng = np.random.default_rng(0)
+    v_host = rng.normal(size=op.dim)
+    w_oracle = op.matvec_np(v_host.astype(np.complex128)).real
     # production path for the (real) flagship: one-plane real kernel
     t1 = None
     for n in sizes:
-        if n == 1:
-            mv_p, dim_p, embed, _ = make_matvec_real_padded(op)
-            mv = mv_p
-            v = jnp.asarray(embed(rng.normal(size=op.dim)))
-        else:
-            mesh = Mesh(np.asarray(devices[:n]), ("dw",))
-            mv = sharded_matvec_real_flat(op, mesh, overlap=args.overlap)
-            v = jnp.asarray(rng.normal(size=op.dim))
+        for ov in (overlaps if n > 1 else [0]):
+            if n == 1:
+                mv_p, dim_p, embed, extract = make_matvec_real_padded(op)
+                mv = mv_p
+                v = jnp.asarray(embed(v_host))
+                got = extract(np.asarray(mv(v)))
+            else:
+                mesh = Mesh(np.asarray(devices[:n]), ("dw",))
+                mv = sharded_matvec_real_flat(op, mesh, overlap=ov)
+                v = jnp.asarray(v_host)
+                got = np.asarray(mv(v))
+            # correctness gate: every mesh size must reproduce the
+            # matrix-free numpy oracle exactly (this, not the CPU-mesh
+            # timing, is what the virtual-device run certifies)
+            np.testing.assert_allclose(got, w_oracle, rtol=1e-10,
+                                       atol=1e-10)
 
-        @jax.jit
-        def step(v):
-            w = mv(v)
-            return w / jnp.linalg.norm(w)
+            @jax.jit
+            def step(v):
+                w = mv(v)
+                return w / jnp.linalg.norm(w)
 
-        w = step(v)
-        jax.block_until_ready(w)
-        t0 = time.time()
-        for _ in range(args.steps):
-            w = step(w)
-        jax.block_until_ready(w)
-        dt = (time.time() - t0) / args.steps * 1e3
-        if t1 is None:
-            t1 = dt
-        eff = t1 / (dt * n)          # strong scaling: ideal time = t1/n
-        print(json.dumps({"n_devices": n,
-                          "ms_per_matvec": round(dt, 3),
-                          "efficiency_vs_1": round(eff, 4)}), flush=True)
+            w = step(v)
+            jax.block_until_ready(w)
+            t0 = time.time()
+            for _ in range(args.steps):
+                w = step(w)
+            jax.block_until_ready(w)
+            dt = (time.time() - t0) / args.steps * 1e3
+            if t1 is None:
+                t1 = dt
+            eff = t1 / (dt * n)      # strong scaling: ideal time = t1/n
+            row = {"n_devices": n, "overlap": ov,
+                   "ms_per_matvec": round(dt, 3),
+                   "efficiency_vs_1": round(eff, 4),
+                   "platform": platform, "oracle_exact": True}
+            if note:
+                row["note"] = note
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

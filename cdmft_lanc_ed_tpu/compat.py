@@ -113,9 +113,22 @@ def ed_print_impg0(solver: EDSolver) -> None:
     ed_io.print_impg0(solver.cfg, solver.gf)
 
 
-def ed_read_impsigma(solver: EDSolver):
+def ed_read_impsigma(solver: EDSolver, nineq: int = 0):
+    """ed_read_impSigma: single (nineq=0) or [Nineq,...] lattice variant
+    (ED_IO.f90:626-687)."""
     from . import io as ed_io
+    if nineq:
+        return ed_io.read_impsigma_lattice(solver.cfg, nineq)
     return ed_io.read_impsigma(solver.cfg)
+
+
+def ed_read_impg(solver: EDSolver, nineq: int = 0):
+    """ed_read_impG: single (nineq=0) or [Nineq,...] lattice variant
+    (ED_IO.f90:689-744)."""
+    from . import io as ed_io
+    if nineq:
+        return ed_io.read_impg_lattice(solver.cfg, nineq)
+    return ed_io.read_impg(solver.cfg)
 
 
 def ed_spin_symmetrize_bath(solver: EDSolver, bath) -> np.ndarray:

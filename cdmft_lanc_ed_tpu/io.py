@@ -74,11 +74,13 @@ def print_impg0(cfg: EDConfig, gf: GFResult) -> None:
     _print_function(cfg, gf.g0real, gf.wr, "impG0", "realw")
 
 
-def read_impsigma(cfg: EDConfig) -> Tuple[np.ndarray, np.ndarray]:
-    """ed_read_impSigma (ED_IO.f90:630-744): returns (smats, sreal)."""
-    sm = np.zeros((cfg.nlat, cfg.nlat, cfg.nspin, cfg.nspin, cfg.norb,
+def _read_function(cfg: EDConfig,
+                   prefix: str) -> Tuple[np.ndarray, np.ndarray]:
+    """sread loop over all components for one printed function family
+    (ed_read_impSigma_single / ed_read_impG_single, ED_IO.f90:630-744)."""
+    fm = np.zeros((cfg.nlat, cfg.nlat, cfg.nspin, cfg.nspin, cfg.norb,
                    cfg.norb, cfg.lmats), np.complex128)
-    sr = np.zeros(sm.shape[:-1] + (cfg.lreal,), np.complex128)
+    fr = np.zeros(fm.shape[:-1] + (cfg.lreal,), np.complex128)
     for ispin in range(cfg.nspin):
         for ilat in range(cfg.nlat):
             for jlat in range(cfg.nlat):
@@ -86,20 +88,56 @@ def read_impsigma(cfg: EDConfig) -> Tuple[np.ndarray, np.ndarray]:
                     for jorb in range(cfg.norb):
                         sfx = _component_suffix(ilat, jlat, iorb, jorb,
                                                 ispin)
-                        base = os.path.join(cfg.work_dir, "impSigma" + sfx)
+                        base = os.path.join(cfg.work_dir, prefix + sfx)
                         f_iw = base + "_iw" + cfg.ed_file_suffix + ".ed"
                         f_re = base + "_realw" + cfg.ed_file_suffix + ".ed"
                         if os.path.exists(f_iw):
                             _, v = sread(f_iw)
                             n = min(len(v), cfg.lmats)
-                            sm[ilat, jlat, ispin, ispin, iorb, jorb,
+                            fm[ilat, jlat, ispin, ispin, iorb, jorb,
                                :n] = v[:n]
                         if os.path.exists(f_re):
                             _, v = sread(f_re)
                             n = min(len(v), cfg.lreal)
-                            sr[ilat, jlat, ispin, ispin, iorb, jorb,
+                            fr[ilat, jlat, ispin, ispin, iorb, jorb,
                                :n] = v[:n]
-    return sm, sr
+    return fm, fr
+
+
+def read_impsigma(cfg: EDConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """ed_read_impSigma (ED_IO.f90:626-659): returns (smats, sreal)."""
+    return _read_function(cfg, "impSigma")
+
+
+def read_impg(cfg: EDConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """ed_read_impG (ED_IO.f90:689-717): returns (gmats, greal) — the
+    restart-from-G counterpart of :func:`read_impsigma`."""
+    return _read_function(cfg, "impG")
+
+
+def _read_function_lattice(cfg: EDConfig, prefix: str, nineq: int):
+    """[Nineq, ...] reader (ed_read_impSigma_lattice / ed_read_impG_lattice,
+    ED_IO.f90:661-687,719-744): per-site files carry the reference
+    ``_ineq`` + 4-digit-padded suffix (ED_VARS_GLOBAL.f90:278-279)."""
+    fm = np.zeros((nineq, cfg.nlat, cfg.nlat, cfg.nspin, cfg.nspin,
+                   cfg.norb, cfg.norb, cfg.lmats), np.complex128)
+    fr = np.zeros(fm.shape[:-1] + (cfg.lreal,), np.complex128)
+    saved = cfg.ed_file_suffix
+    try:
+        for ineq in range(nineq):
+            cfg.ed_file_suffix = f"_ineq{ineq + 1:04d}"
+            fm[ineq], fr[ineq] = _read_function(cfg, prefix)
+    finally:
+        cfg.ed_file_suffix = saved
+    return fm, fr
+
+
+def read_impsigma_lattice(cfg: EDConfig, nineq: int):
+    return _read_function_lattice(cfg, "impSigma", nineq)
+
+
+def read_impg_lattice(cfg: EDConfig, nineq: int):
+    return _read_function_lattice(cfg, "impG", nineq)
 
 
 # ---------------------------------------------------------------------------

@@ -76,7 +76,8 @@ class LatticeSolver:
             out.append(b)
         return np.stack(out)
 
-    # -- stacked getters (*_ineq arrays, ED_MAIN.f90:357-370) -----------
+    # -- stacked getters (*_ineq arrays, ED_MAIN.f90:357-370; the full
+    # [Nineq,...] getter family of ED_IO/lattice/*.f90) -----------------
     def sigma_matsubara(self) -> np.ndarray:
         return np.stack([s.sigma_matsubara() for s in self.solvers])
 
@@ -86,11 +87,68 @@ class LatticeSolver:
     def gimp_matsubara(self) -> np.ndarray:
         return np.stack([s.gimp_matsubara() for s in self.solvers])
 
+    def gimp_realaxis(self) -> np.ndarray:
+        return np.stack([s.gimp_realaxis() for s in self.solvers])
+
+    def g0imp_matsubara(self) -> np.ndarray:
+        return np.stack([s.g0imp_matsubara() for s in self.solvers])
+
+    def g0imp_realaxis(self) -> np.ndarray:
+        return np.stack([s.g0imp_realaxis() for s in self.solvers])
+
     def dens(self) -> np.ndarray:
         return np.stack([s.dens() for s in self.solvers])
 
     def docc(self) -> np.ndarray:
         return np.stack([s.docc() for s in self.solvers])
 
+    def mag(self) -> np.ndarray:
+        return np.stack([s.mag() for s in self.solvers])
+
     def egs(self) -> np.ndarray:
         return np.array([s.egs for s in self.solvers])
+
+    def eimp(self) -> np.ndarray:
+        """[Nineq, 4]: (epot, eint, ehartree, eknot) — the ed_get_eimp
+        lattice layout (ED_MAIN.f90:365, ED_IO/lattice/get_eimp.f90).
+        The reference never assigns ed_Eint (always 0); here eint is the
+        meaningful epot - ehartree."""
+        return np.array([[s.energy.epot,
+                          s.energy.epot - s.energy.ehartree,
+                          s.energy.ehartree, s.energy.eknot]
+                         for s in self.solvers])
+
+    def doubles(self) -> np.ndarray:
+        """[Nineq, 4]: (dust, dund, dse, dph)
+        (ed_get_doubles lattice, ED_IO/lattice/get_doubles.f90)."""
+        return np.array([[s.energy.dust, s.energy.dund, s.energy.dse,
+                          s.energy.dph] for s in self.solvers])
+
+    def cluster_dm(self) -> np.ndarray:
+        """[Nineq, 4^Nimp, 4^Nimp] (ed_get_cluster_dm lattice)."""
+        return np.stack([s.cluster_dm() for s in self.solvers])
+
+    def reduced_dm(self, orbital_mask) -> np.ndarray:
+        """[Nineq, ...] partial-traced DMs (ed_get_reduced_dm lattice,
+        ED_IO.f90:205-211)."""
+        return np.stack([s.reduced_dm(orbital_mask)
+                         for s in self.solvers])
+
+    def sp_dm(self) -> np.ndarray:
+        """[Nineq, ...] single-particle DMs (ed_get_sp_dm lattice)."""
+        return np.stack([s.sp_dm() for s in self.solvers])
+
+    # -- readers (ed_read_impSigma/ed_read_impG lattice variants,
+    # ED_IO.f90:661-687,719-744): restore per-ineq printed functions ----
+    def read_impsigma(self) -> np.ndarray:
+        """Read every cluster's impSigma files back into its solver;
+        returns the stacked [Nineq,...] Matsubara array."""
+        for s in self.solvers:
+            s.read_impsigma()
+        return self.sigma_matsubara()
+
+    def read_impg(self) -> np.ndarray:
+        """Restart-from-G: read every cluster's impG files back."""
+        for s in self.solvers:
+            s.read_impg()
+        return self.gimp_matsubara()

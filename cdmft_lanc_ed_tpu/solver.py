@@ -201,6 +201,44 @@ class EDSolver:
     def sp_dm(self) -> Optional[np.ndarray]:
         return self.spdm
 
+    def _ensure_gf_store(self):
+        """An empty GFResult shell for reader-populated functions (the
+        reference readers fill the global impSmats/impGmats arrays
+        without a solve, ED_IO.f90:626-744)."""
+        if self.gf is None:
+            from .gf import (GFResult, GFSpectrum, matsubara_grid,
+                             realaxis_grid)
+            cfg = self.cfg
+            shape_m = (cfg.nlat, cfg.nlat, cfg.nspin, cfg.nspin,
+                       cfg.norb, cfg.norb, cfg.lmats)
+            shape_r = shape_m[:-1] + (cfg.lreal,)
+            z = np.zeros
+            self.gf = GFResult(
+                spectrum=GFSpectrum(),
+                gmats=z(shape_m, np.complex128),
+                greal=z(shape_r, np.complex128),
+                smats=z(shape_m, np.complex128),
+                sreal=z(shape_r, np.complex128),
+                g0mats=z(shape_m, np.complex128),
+                g0real=z(shape_r, np.complex128),
+                max_exc=0.0, wm=matsubara_grid(cfg),
+                wr=realaxis_grid(cfg))
+        return self.gf
+
+    def read_impsigma(self) -> None:
+        """ed_read_impSigma: restore Sigma(iw)/Sigma(w) from printed files
+        into the solver store (served by the sigma_* getters)."""
+        from . import io as ed_io
+        gf = self._ensure_gf_store()
+        gf.smats, gf.sreal = ed_io.read_impsigma(self.cfg)
+
+    def read_impg(self) -> None:
+        """ed_read_impG: restore G(iw)/G(w) from printed files (the
+        restart-from-G workflow, ED_IO.f90:689-744)."""
+        from . import io as ed_io
+        gf = self._ensure_gf_store()
+        gf.gmats, gf.greal = ed_io.read_impg(self.cfg)
+
     def gf_cluster(self, z: np.ndarray) -> np.ndarray:
         """Cluster GF at arbitrary complex frequencies from the stored
         pole/weight spectrum (ed_gf_cluster, ED_IO/gf_cluster.f90)."""

@@ -119,6 +119,59 @@ def test_su_dai_tong_single_site_rdm(tmp_path):
     assert abs(np.trace(rho1) - 1.0) < 1e-10
 
 
+def test_walsh_2x2_cluster_rdm_entropies(tmp_path):
+    """Walsh et al., PRL 122, 067203 (2019): 2x2-cluster T->0 entanglement
+    observables (reference milestone /root/reference/README.md:51).
+
+    Pinned to the paper's exact relations and limits (the figure digits
+    are not redistributable offline):
+    * their local-RDM parametrisation at half filling — rho_1 =
+      diag(d, 1/2-d, 1/2-d, d) so s1 depends on the double occupancy
+      alone: s1 = -2 d ln d - 2 (1/2-d) ln(1/2-d) — must match the
+      full fermionic partial trace of the cluster DM to machine precision;
+    * the band/Mott endpoints of their s1(U) curve: 2 ln 2 at U->0 and
+      ln 2 on the Mott plateau (checked as the U=50 asymptote), with s1
+      strictly decreasing in U between them;
+    * pairwise mutual information I2 = s_i + s_j - s_ij positive,
+      symmetric, and bounded by 2 min(s_i, s_j) (subadditivity)."""
+    from cdmft_lanc_ed_tpu.observables import (mutual_information,
+                                               site_entanglement_entropy)
+
+    def run(u, sub):
+        wd = tmp_path / sub
+        wd.mkdir()
+        cfg = EDConfig(nlat=4, norb=1, nspin=1, nbath=0, uloc=[u],
+                       lmats=8, lreal=8, dm_flag=True, ed_verbose=0,
+                       work_dir=str(wd))
+        nn = (4, 4, 1, 1, 1, 1)
+        hloc = np.zeros(nn, np.complex128)
+        for (i, j) in [(0, 1), (0, 2), (1, 3), (2, 3)]:
+            hloc[i, j, 0, 0, 0, 0] = hloc[j, i, 0, 0, 0, 0] = -1.0
+        return _solve(cfg, hloc)
+
+    ln2 = np.log(2.0)
+    s1_of = {}
+    for u, sub in [(2.0, "u2"), (8.0, "u8"), (50.0, "u50")]:
+        s = run(u, sub)
+        np.testing.assert_allclose(s.dens(), 1.0, atol=1e-8)
+        d = float(np.mean(s.obs.docc))
+        s1 = site_entanglement_entropy(s.cfg, s.cdm, [0])
+        s1_walsh = -2 * d * np.log(d) - 2 * (0.5 - d) * np.log(0.5 - d)
+        assert abs(s1 - s1_walsh) < 1e-8, (u, s1, s1_walsh)
+        assert ln2 < s1 < 2 * ln2
+        s1_of[u] = s1
+        if u == 8.0:
+            i01 = mutual_information(s.cfg, s.cdm, 0, 1)
+            i10 = mutual_information(s.cfg, s.cdm, 1, 0)
+            assert abs(i01 - i10) < 1e-10
+            assert 0.0 < i01 <= 2 * s1 + 1e-12
+    # s1(U) decreases from the 2 ln 2 band limit to the ln 2 Mott plateau
+    assert s1_of[2.0] > s1_of[8.0] > s1_of[50.0]
+    # the plateau is approached as -2d ln d with d ~ (4t/U)^2: slow in U
+    # (0.017 above ln 2 at U=50) but far below the U=8 value
+    assert s1_of[50.0] < ln2 + 0.05
+
+
 def test_bhz_model_z2_transition_at_4ts():
     """The repo's own BHZ model builder + spin-Chern Z2 machinery pin the
     literature transition: topological (Z2=1) for |mh| < 4 ts, trivial
