@@ -126,6 +126,52 @@ def build_g_sigma_scheme(cfg: EDConfig, kpoint, coords: np.ndarray,
 
 
 @complex_safe
+def periodize_m_scheme_local(cfg: EDConfig, kpoint, coords: np.ndarray,
+                             h_local_cluster: np.ndarray,
+                             hk_per_hop: np.ndarray,
+                             hk_per_full: np.ndarray,
+                             s_nnn: np.ndarray, z: np.ndarray
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """BHZ-style cumulant (M-scheme) periodization
+    (periodize_sigma_Mscheme_mats/real, cdn_bhz_postprocessing.f90:
+    641-712,580-639 — the reference zeroes ts/lambda around the G build
+    and Mh around the G0 subtraction; here the split is explicit):
+
+        M(z)        = [(z+mu)I - H_local - Sigma(z)]^{-1}   (cluster)
+        M_per(k,z)  = 1/Nlat sum_IJ e^{-ik(R_I-R_J)} M_IJ(z)
+        G_per^{-1}  = M_per^{-1} - Hk_hop(k)
+        Sigma_per   = (z+mu)I - Hk_full(k) - G_per^{-1}
+
+    ``h_local_cluster`` is the k-independent local cluster Hamiltonian
+    (hoppings zeroed; [Nlso, Nlso]); ``hk_per_hop`` the periodized
+    Bloch Hamiltonian with the LOCAL part zeroed and ``hk_per_full`` the
+    full one ([Nso, Nso]).  Returns (G_per, Sigma_per) as
+    [Nspin, Nspin, Norb, Norb, L] arrays.  With Sigma = 0 this is exactly
+    the Sigma-scheme result (the cumulant reduces to the local G0)."""
+    nlat, nspin, norb = cfg.nlat, cfg.nspin, cfg.norb
+    nlso, nso = cfg.nlso, nspin * norb
+    s_lso = jnp.asarray(np.moveaxis(nnn2lso(s_nnn, nlat, nspin, norb),
+                                    -1, 0))
+    eye = jnp.eye(nlso, dtype=jnp.complex128)
+    m = jnp.linalg.inv(
+        (jnp.asarray(z)[:, None, None] + cfg.xmu) * eye
+        - jnp.asarray(h_local_cluster)[None] - s_lso)   # [L, nlso, nlso]
+    m6 = lso2nnn(jnp.moveaxis(m, 0, -1), nlat, nspin, norb)
+    ph = jnp.asarray(_phases(kpoint, coords))
+    m_per = jnp.einsum("ij,ijabcdl->abcdl", ph, m6)
+    m_so = jnp.moveaxis(jnp.asarray(
+        nn2so(np.asarray(m_per), nspin, norb)), -1, 0)  # [L, nso, nso]
+    eye_s = jnp.eye(nso, dtype=jnp.complex128)
+    ginv = jnp.linalg.inv(m_so) - jnp.asarray(hk_per_hop)[None]
+    s_so = (jnp.asarray(z)[:, None, None] + cfg.xmu) * eye_s \
+        - jnp.asarray(hk_per_full)[None] - ginv
+    g_so = jnp.linalg.inv(ginv)
+    g_per = so2nn(np.moveaxis(np.asarray(g_so), 0, -1), nspin, norb)
+    s_per = so2nn(np.moveaxis(np.asarray(s_so), 0, -1), nspin, norb)
+    return g_per, s_per
+
+
+@complex_safe
 def periodize_m_scheme(cfg: EDConfig, kpoint, cell_pos: np.ndarray,
                        site_sub: np.ndarray, nsub: int,
                        s_nnn: np.ndarray, z: np.ndarray

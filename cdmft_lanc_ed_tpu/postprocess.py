@@ -45,6 +45,32 @@ def scattering_rate(cfg: EDConfig, smats_nnn: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Z(k) matrices (zmats/zmats_component, cdn_bhz_postprocessing.f90:273-304)
+# ---------------------------------------------------------------------------
+
+def zmats_matrix(cfg: EDConfig, sigma_so_iw1: np.ndarray) -> np.ndarray:
+    """Z(k) = [ |I - Im Sigma_per(k, iw_1)| / (pi/beta) |_abs ]^{-1}
+    from the periodized self-energy at the first Matsubara frequency
+    (zmats, cdn_bhz_postprocessing.f90:273-289)."""
+    nso = sigma_so_iw1.shape[0]
+    z = np.abs(np.eye(nso) - np.imag(np.asarray(sigma_so_iw1))
+               / (np.pi / cfg.beta))
+    return np.linalg.inv(z)
+
+
+def zmats_component(cfg: EDConfig, sigma_so_iw1: np.ndarray) -> np.ndarray:
+    """Component map of the reference's zmats_component
+    (cdn_bhz_postprocessing.f90:291-304): diagonal carries (Z_11, Z_12)
+    of the full Z matrix — used to plot the orbital-mixing weight along
+    k-paths."""
+    zt = zmats_matrix(cfg, sigma_so_iw1)
+    z = np.zeros_like(zt)
+    z[0, 0] = zt[0, 0]
+    z[1, 1] = zt[0, 1]
+    return z
+
+
+# ---------------------------------------------------------------------------
 # topological Hamiltonian + band structure
 # ---------------------------------------------------------------------------
 
@@ -56,6 +82,23 @@ def topological_hamiltonian(hk_per: Callable[[np.ndarray], np.ndarray],
 
     def h(k):
         return np.asarray(hk_per(k)) + np.real(np.asarray(sigma0_of_k(k)))
+
+    return h
+
+
+def unperiodized_topological_hamiltonian(
+        hk_cluster: Callable[[np.ndarray], np.ndarray],
+        sigma_cluster_0: np.ndarray) -> Callable[[np.ndarray], np.ndarray]:
+    """Cluster-BZ (unperiodized) topological Hamiltonian
+    H_top(k) = H_cluster(k) + Re Sigma_cluster(w->0) on the full
+    [Nlso, Nlso] cluster Bloch matrix (hk_unperiodized_topological,
+    cdn_bhz_postprocessing.f90:330-348; the reference feeds the complex
+    Sigma to a Hermitian band solver — the Hermitian part is Re Sigma)."""
+    s0 = np.real(np.asarray(sigma_cluster_0))
+    s0 = 0.5 * (s0 + s0.T)
+
+    def h(k):
+        return np.asarray(hk_cluster(k)) + s0
 
     return h
 
