@@ -10,6 +10,7 @@ Configuration: 2x2 Hubbard plaquette + 2 replica baths (Ns=12 — the
 largest flagship a single chip serves with dense factors; the 4-replica
 north-star variant is the multi-host Ns=20 regime).
 """
+import faulthandler
 import json
 import sys
 import time
@@ -18,6 +19,7 @@ import numpy as np
 
 
 def main():
+    faulthandler.dump_traceback_later(240, repeat=True, file=sys.stderr)
     import jax
     jax.config.update("jax_enable_x64", True)
     sys.path.insert(0, ".")
@@ -31,7 +33,7 @@ def main():
     cfg = EDConfig(nlat=4, norb=1, nspin=1, nbath=2, uloc=[4.0],
                    beta=100.0, lmats=256, lreal=32, lfit=128,
                    nloop=20, dmft_error=2e-5, nsuccess=1,
-                   ed_precision="mixed", ed_verbose=0, work_dir=wd)
+                   ed_precision="mixed", ed_verbose=3, work_dir=wd)
     hk, hloc = square_cluster_hk(2, 2, nk=10)
     solver = EDSolver(cfg)
     basis = np.zeros((1, 4, 4, 1, 1, 1, 1), complex)

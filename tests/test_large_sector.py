@@ -428,6 +428,47 @@ def test_gf_sharded_mesh_path_complex_matches_dense(tmp_path, monkeypatch):
     np.testing.assert_allclose(s_m, s_ref, rtol=1e-6, atol=1e-7)
 
 
+def test_gf_sharded_mesh_single_precision(tmp_path, monkeypatch):
+    """ed_gf_precision='single' on the mesh-routed GF: the f32 sharded
+    chain must reproduce the f64 dense-path GF to single-precision
+    accuracy (the production large-sector GF configuration)."""
+    from jax.sharding import Mesh
+    from cdmft_lanc_ed_tpu import EDSolver
+    from cdmft_lanc_ed_tpu.ops import split
+    from cdmft_lanc_ed_tpu.parallel import multichip
+
+    def run(workdir, prec):
+        cfg = EDConfig(nlat=2, norb=1, nspin=1, nbath=1, uloc=[2.0],
+                       lmats=16, lreal=8, lanc_dim_threshold=4,
+                       ed_gf_precision=prec, ed_verbose=0,
+                       work_dir=str(workdir))
+        nn = (2, 2, 1, 1, 1, 1)
+        hloc = np.zeros(nn, np.complex128)
+        hloc[0, 1, 0, 0, 0, 0] = hloc[1, 0, 0, 0, 0, 0] = -1.0
+        basis = np.zeros((1,) + nn, np.complex128)
+        for il in range(2):
+            basis[0, il, il, 0, 0, 0, 0] = 1.0
+        s = EDSolver(cfg)
+        s.set_hbath(basis, np.array([[0.3]]))
+        bath = s.init_solver()
+        s.solve(bath, hloc)
+        return s.gf.gmats
+
+    d1 = tmp_path / "dense"
+    d2 = tmp_path / "mesh32"
+    d1.mkdir()
+    d2.mkdir()
+    g_ref = run(d1, "double")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dw",))
+    monkeypatch.setattr(split, "DENSE_FACTOR_MAX", 2)
+    multichip.set_solver_mesh(mesh)
+    try:
+        g32 = run(d2, "single")
+    finally:
+        multichip.set_solver_mesh(None)
+    np.testing.assert_allclose(g32, g_ref, rtol=2e-4, atol=2e-4)
+
+
 def test_sharded_pair_mixed_eigensolver():
     """f32 Krylov + f64 refine on the sharded Karatsuba pair kernel pins
     the f64 dense ground state (round-2 VERDICT weak item 5)."""
