@@ -376,13 +376,13 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         neigen=neigen, ncv=nblock,
                         maxiter=nitermax * nblock,
                         tol=cfg.lanc_tolerance, op32=op_pair32,
-                        op64=op_large_sh_pair)
+                        op64=op_large_sh_pair, device_vectors=True)
                 else:
                     res = lanczos.lanczos_eigh_split(
                         sl.apply_sharded_large_pair_flat, dim,
                         neigen=neigen, ncv=nblock,
                         maxiter=nitermax * nblock, tol=cfg.lanc_tolerance,
-                        op=op_large_sh_pair)
+                        op=op_large_sh_pair, device_vectors=True)
             elif op_large_sh is not None:
                 from .parallel import sharded_large as sl
                 # device_vectors: retained eigenvectors stay sharded on
@@ -497,16 +497,20 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 neigen=neigen, ncv=nblock,
                                 maxiter=nitermax * nblock,
                                 tol=cfg.lanc_tolerance, v0=v0,
-                                op32=dev32, op64=dev)
+                                op32=dev32, op64=dev,
+                                device_vectors=True)
                         else:
                             res = lanczos.lanczos_eigh_split(
                                 large.apply_large_pair_flat, dim_p,
                                 neigen=neigen, ncv=nblock,
                                 maxiter=nitermax * nblock,
-                                tol=cfg.lanc_tolerance, v0=v0, op=dev)
+                                tol=cfg.lanc_tolerance, v0=v0, op=dev,
+                                device_vectors=True)
+                ev = res.eigenvectors
+                ev = ((extract(ev[0]), extract(ev[1]))
+                      if isinstance(ev, tuple) else extract(ev))
                 res = lanczos.EighResult(
-                    res.eigenvalues, extract(res.eigenvectors),
-                    res.iterations, res.converged)
+                    res.eigenvalues, ev, res.iterations, res.converged)
             else:
                 dev = spmv.to_device(op)
                 mv = spmv.make_matvec(dev)
@@ -515,11 +519,19 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                     maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
             eig_values = np.asarray(res.eigenvalues)
             # device-resident vectors (large sectors) stay on device;
-            # host results pass through unchanged
+            # host results pass through unchanged.  Split-pair planes
+            # (complex-H large sectors) are stored per state as
+            # SplitVector (complex dtypes are unusable on this TPU).
             import jax as _jax
-            eig_basis = (res.eigenvectors
-                         if isinstance(res.eigenvectors, _jax.Array)
-                         else np.asarray(res.eigenvectors))  # [ne, dim]
+            ev = res.eigenvectors
+            if isinstance(ev, tuple) and len(ev) == 2:
+                from .eigenspace import SplitVector
+                eig_basis = [SplitVector(ev[0][i], ev[1][i])
+                             for i in range(ev[0].shape[0])]
+            elif isinstance(ev, _jax.Array):
+                eig_basis = ev
+            else:
+                eig_basis = np.asarray(ev)  # [ne, dim]
         else:
             h = op.to_dense()
             w, vecs = lanczos.dense_eigh(h)

@@ -19,6 +19,35 @@ from .utils import fock
 
 
 @dataclass
+class SplitVector:
+    """Device-resident complex eigenvector as (re, im) f64 planes.
+
+    Complex dtypes are unusable on the target TPU, so large-sector
+    eigenvectors of COMPLEX Hamiltonians stay in HBM as a split pair
+    (the real-H path stores a single real plane).  Host consumers call
+    :meth:`to_host`; device consumers use the planes directly."""
+    re: object                          # jax.Array [dim]
+    im: object
+
+    def to_host(self) -> np.ndarray:
+        return np.asarray(self.re) + 1j * np.asarray(self.im)
+
+    def __getitem__(self, idx):
+        return SplitVector(self.re[idx], self.im[idx])
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+
+def vector_to_host(vec) -> np.ndarray:
+    """Any stored eigenvector representation -> host ndarray."""
+    if isinstance(vec, SplitVector):
+        return vec.to_host()
+    return np.asarray(vec)
+
+
+@dataclass
 class EigenState:
     energy: float
     isector: int

@@ -410,7 +410,8 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
             # auto-select 2-channel, see build_gf_and_sigma)
             v2d = vec.reshape(dim_dw, dim_up)
         else:
-            v2d = np.asarray(vec).reshape(dim_dw, dim_up)
+            from .eigenspace import vector_to_host
+            v2d = vector_to_host(vec).reshape(dim_dw, dim_up)
 
         for ispin in range(cfg.nspin):
             for create in (True, False):
@@ -554,7 +555,11 @@ def build_gf_and_sigma(cfg: EDConfig, hb: BathBasis, bath: DmftBath,
                   and np.abs(np.asarray(hb.basis).imag).max(initial=0) == 0)
         if real_h:
             def _vec_is_real(st):
+                from .eigenspace import SplitVector
                 v = st.get_vector(cfg.ns)
+                if isinstance(v, SplitVector):
+                    # device reduce of the imaginary plane only
+                    return float(jnp.max(jnp.abs(v.im))) == 0.0
                 if not np.iscomplexobj(v):   # real dtype: no transfer
                     return True
                 return np.abs(np.asarray(v).imag).max(initial=0) == 0

@@ -1015,7 +1015,7 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
                        maxiter: int = 512, tol: float = 1e-14,
                        v0: Optional[np.ndarray] = None,
                        seed: int = 8527, dtype=jnp.float64,
-                       op=None) -> EighResult:
+                       op=None, device_vectors: bool = False) -> EighResult:
     """Thick-restart Lanczos on the split-pair representation (TPU path).
     Same semantics as :func:`lanczos_eigh`; eigenvectors are returned as a
     host complex array [neigen, dim].
@@ -1070,6 +1070,20 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
             sr = jnp.asarray(np.ascontiguousarray(s[:, :neigen].real))
             si = jnp.asarray(np.ascontiguousarray(s[:, :neigen].imag))
             nr, ni = restart_basis(br, bi, sr, si)
+            if device_vectors:
+                # large sectors: the Ritz pair planes stay DEVICE-resident
+                # (no O(neigen*dim) complex host round-trip; mirrors the
+                # real path, ED_EIGENSPACE.f90:499-569)
+                nr = nr.astype(jnp.float64)
+                ni = ni.astype(jnp.float64)
+                nrm = np.array([float(np.sqrt(
+                    _dot_chunked(nr[j], nr[j])
+                    + _dot_chunked(ni[j], ni[j])))
+                    for j in range(neigen)])
+                sc = jnp.asarray(1.0 / np.maximum(nrm, 1e-300))[:, None]
+                return EighResult(theta[:neigen].copy(),
+                                  (nr * sc, ni * sc), nmv,
+                                  bool(conv.all()))
             vecs = np.asarray(nr) + 1j * np.asarray(ni)
             nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
             vecs = vecs / np.maximum(nrm, 1e-300)
@@ -1223,31 +1237,91 @@ def rayleigh_refine(matvec_pair64, vecs: np.ndarray, neigen: int):
     return theta[:neigen], new_vecs[:neigen], resid[:neigen]
 
 
+def rayleigh_refine_split_device(matvec_pair64, vecs, neigen: int,
+                                 op64=None):
+    """Device-resident split-pair Rayleigh-Ritz refine: ``vecs`` is a
+    (re, im) plane pair [k, dim]; the planes never leave the device
+    (complex Gram via chunked plane dots, Cholesky orthonormalisation,
+    k pair matvecs); only k x k pieces touch the host.  Returns
+    (theta [ne], (nr, ni) [ne, dim] DEVICE pair, resid [ne])."""
+    apply_fn, opd, _ = _as_applier(matvec_pair64, op64)
+    vr = jnp.asarray(vecs[0], jnp.float64)
+    vi = jnp.asarray(vecs[1], jnp.float64)
+    k = vr.shape[0]
+
+    def gram_c(ar, ai, br, bi):
+        g = np.empty((k, k), np.complex128)
+        for i in range(k):
+            for j in range(k):
+                re = float(_dot_chunked(ar[i], br[j])) \
+                    + float(_dot_chunked(ai[i], bi[j]))
+                im = float(_dot_chunked(ar[i], bi[j])) \
+                    - float(_dot_chunked(ai[i], br[j]))
+                g[i, j] = re + 1j * im
+        return g
+
+    g = gram_c(vr, vi, vr, vi)
+    g = 0.5 * (g + g.conj().T) \
+        + 1e-14 * np.eye(k) * max(abs(np.trace(g)) / k, 1.0)
+    linv = np.linalg.inv(np.linalg.cholesky(g))
+    qr, qi = _restart_split(vr, vi,
+                            jnp.asarray(np.ascontiguousarray(linv.real.T)),
+                            jnp.asarray(np.ascontiguousarray(linv.imag.T)))
+    ws = [apply_fn(opd, qr[j], qi[j]) for j in range(k)]
+    wr = jnp.stack([w[0] for w in ws])
+    wi = jnp.stack([w[1] for w in ws])
+    hk = gram_c(qr, qi, wr, wi)
+    hk = 0.5 * (hk + hk.conj().T)
+    theta, s = np.linalg.eigh(hk)
+    sr = jnp.asarray(np.ascontiguousarray(s.real))
+    si = jnp.asarray(np.ascontiguousarray(s.imag))
+    nr, ni = _restart_split(qr, qi, sr, si)
+    wmr, wmi = _restart_split(wr, wi, sr, si)
+    resid = np.array([float(np.sqrt(
+        _dot_chunked(wmr[j] - theta[j] * nr[j],
+                     wmr[j] - theta[j] * nr[j])
+        + _dot_chunked(wmi[j] - theta[j] * ni[j],
+                       wmi[j] - theta[j] * ni[j])))
+        for j in range(k)])
+    return (theta[:neigen], (nr[:neigen], ni[:neigen]), resid[:neigen])
+
+
 def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
                        ncv: int, maxiter: int = 512, tol: float = 1e-14,
                        v0: Optional[np.ndarray] = None,
                        seed: int = 8527, op32=None,
-                       op64=None) -> EighResult:
+                       op64=None, device_vectors: bool = False
+                       ) -> EighResult:
     """Mixed-precision eigensolver: f32 thick-restart Lanczos for the
     Krylov iterations (MXU throughput), one f64 Rayleigh-Ritz refinement
     for the eigenvalues.  Falls back to a short f64 polish run when the
-    refined residuals do not meet ``tol``."""
+    refined residuals do not meet ``tol``.  ``device_vectors`` keeps the
+    Krylov output and the refined Ritz pair planes device-resident."""
     f32_tol = max(tol, 2e-6)
     res32 = lanczos_eigh_split(matvec_pair32, dim, neigen=neigen, ncv=ncv,
                                maxiter=maxiter, tol=f32_tol, v0=v0,
-                               seed=seed, dtype=jnp.float32, op=op32)
-    mv64 = (matvec_pair64 if op64 is None
-            else (lambda vr, vi: matvec_pair64(op64, vr, vi)))
-    theta, vecs, resid = rayleigh_refine(mv64,
-                                         res32.eigenvectors, neigen)
-    nmv = res32.iterations + len(res32.eigenvectors)
+                               seed=seed, dtype=jnp.float32, op=op32,
+                               device_vectors=device_vectors)
+    if device_vectors:
+        theta, vecs, resid = rayleigh_refine_split_device(
+            matvec_pair64, res32.eigenvectors, neigen, op64=op64)
+        nmv = res32.iterations + vecs[0].shape[0]
+    else:
+        mv64 = (matvec_pair64 if op64 is None
+                else (lambda vr, vi: matvec_pair64(op64, vr, vi)))
+        theta, vecs, resid = rayleigh_refine(mv64,
+                                             res32.eigenvectors, neigen)
+        nmv = res32.iterations + len(res32.eigenvectors)
     # residual-based error estimate; polish in f64 if insufficient
     ok = np.all(resid <= np.sqrt(max(tol, 1e-15))
                 * np.maximum(np.abs(theta), 1.0))
     if not ok:
+        v0_64 = ((np.asarray(vecs[0][0]) + 1j * np.asarray(vecs[1][0]))
+                 if device_vectors else vecs[0])
         res64 = lanczos_eigh_split(matvec_pair64, dim, neigen=neigen,
                                    ncv=ncv, maxiter=maxiter, tol=tol,
-                                   v0=vecs[0], seed=seed, op=op64)
+                                   v0=v0_64, seed=seed, op=op64,
+                                   device_vectors=device_vectors)
         return EighResult(res64.eigenvalues, res64.eigenvectors,
                           nmv + res64.iterations, res64.converged)
     return EighResult(theta, vecs, nmv, True)

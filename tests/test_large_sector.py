@@ -259,6 +259,63 @@ def test_device_resident_solve_matches_host(tmp_path, monkeypatch):
                                atol=1e-7)
 
 
+def test_device_resident_pair_solve_matches_host(tmp_path, monkeypatch):
+    """COMPLEX-H large-path solve keeps eigenvectors device-resident as
+    split (re, im) pair planes (SplitVector; complex dtypes are unusable
+    on the target TPU); energies, observables, CDM and GF must match the
+    dense/host path — the complex counterpart of
+    test_device_resident_solve_matches_host."""
+    import jax
+    from cdmft_lanc_ed_tpu import EDSolver
+    from cdmft_lanc_ed_tpu.eigenspace import SplitVector
+    from cdmft_lanc_ed_tpu.ops import split
+
+    def run(workdir, prec="complex128"):
+        cfg = EDConfig(nlat=2, norb=1, nspin=1, nbath=1, uloc=[3.0],
+                       lmats=16, lreal=8, lanc_dim_threshold=4,
+                       dm_flag=True, ed_precision=prec, ed_verbose=0,
+                       work_dir=str(workdir))
+        nn = (2, 2, 1, 1, 1, 1)
+        hloc = np.zeros(nn, np.complex128)
+        hloc[0, 1, 0, 0, 0, 0] = -1.0 + 0.3j
+        hloc[1, 0, 0, 0, 0, 0] = -1.0 - 0.3j
+        basis = np.zeros((1,) + nn, np.complex128)
+        for il in range(2):
+            basis[0, il, il, 0, 0, 0, 0] = 1.0
+        s = EDSolver(cfg)
+        s.set_hbath(basis, np.array([[0.3]]))
+        bath = s.init_solver()
+        s.solve(bath, hloc)
+        return s
+
+    d1 = tmp_path / "host"
+    d1.mkdir()
+    monkeypatch.setenv("CDMFT_SPLIT_BACKEND", "0")
+    s_ref = run(d1)
+    for prec, sub in [("complex128", "dev"), ("mixed", "devmix")]:
+        d2 = tmp_path / sub
+        d2.mkdir()
+        monkeypatch.setenv("CDMFT_SPLIT_BACKEND", "1")
+        monkeypatch.setattr(split, "DENSE_FACTOR_MAX", 2)
+        s_dev = run(d2, prec)
+        monkeypatch.setattr(split, "DENSE_FACTOR_MAX", 8192)
+        monkeypatch.setenv("CDMFT_SPLIT_BACKEND", "0")
+        # at least one retained eigenvector is a device split pair
+        assert any(isinstance(st.vector, SplitVector)
+                   for st in s_dev.diag_state.state_list if not st.itwin)
+        tol = 1e-8 if prec == "complex128" else 1e-6
+        assert abs(s_dev.egs - s_ref.egs) < tol
+        np.testing.assert_allclose(s_dev.obs.dens, s_ref.obs.dens,
+                                   atol=10 * tol)
+        np.testing.assert_allclose(s_dev.obs.docc, s_ref.obs.docc,
+                                   atol=10 * tol)
+        np.testing.assert_allclose(s_dev.obs.s2tot, s_ref.obs.s2tot,
+                                   atol=10 * tol)
+        np.testing.assert_allclose(s_dev.cdm, s_ref.cdm, atol=10 * tol)
+        np.testing.assert_allclose(s_dev.gf.smats, s_ref.gf.smats,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_large_matvec_matches_oracle():
     """8-device CPU mesh: block-sparse sharded matvec == oracle, with the
     per-chip operator memory bounded by the tile set (round-1 VERDICT
