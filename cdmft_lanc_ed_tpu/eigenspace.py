@@ -39,6 +39,18 @@ class SplitVector:
     def shape(self):
         return self.re.shape
 
+    # -- complex linear algebra on the split planes (GF injection
+    # combinations c_a + ph * c_b with ph in {1, +i, -i}) ---------------
+    def __add__(self, other: "SplitVector") -> "SplitVector":
+        return SplitVector(self.re + other.re, self.im + other.im)
+
+    def __rmul__(self, z) -> "SplitVector":
+        x, y = float(np.real(z)), float(np.imag(z))
+        if y == 0.0:
+            return SplitVector(x * self.re, x * self.im)
+        return SplitVector(x * self.re - y * self.im,
+                           x * self.im + y * self.re)
+
 
 def vector_to_host(vec) -> np.ndarray:
     """Any stored eigenvector representation -> host ndarray."""

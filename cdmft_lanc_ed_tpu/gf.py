@@ -167,23 +167,33 @@ def base_excitations(cfg: EDConfig, v2d, nup: int, ndw: int,
     tgt_up = fock.sector_states(ns, jnup)
     tgt_dw = fock.sector_states(ns, jndw)
     import jax
-    if isinstance(v2d, jax.Array):
-        outs = []
+    from .eigenspace import SplitVector
+    if isinstance(v2d, (jax.Array, SplitVector)):
+        planes = ((v2d,) if isinstance(v2d, jax.Array)
+                  else (v2d.re, v2d.im))
+        outs = [[] for _ in planes]
         for a in range(nimp):
             if ispin == 0:
                 tgt, sgn = fock.op_map(src_up, tgt_up, a, create)
                 sel = np.nonzero(tgt >= 0)[0]
-                o = jnp.zeros((v2d.shape[0], len(tgt_up)), v2d.dtype)
-                o = o.at[:, tgt[sel]].set(
-                    v2d[:, sel] * jnp.asarray(sgn[sel], v2d.dtype))
+                for p, pl in enumerate(planes):
+                    o = jnp.zeros((pl.shape[0], len(tgt_up)), pl.dtype)
+                    o = o.at[:, tgt[sel]].set(
+                        pl[:, sel] * jnp.asarray(sgn[sel], pl.dtype))
+                    outs[p].append(o.reshape(-1))
             else:
                 tgt, sgn = fock.op_map(src_dw, tgt_dw, a, create)
                 sel = np.nonzero(tgt >= 0)[0]
-                o = jnp.zeros((len(tgt_dw), v2d.shape[1]), v2d.dtype)
-                o = o.at[tgt[sel], :].set(
-                    v2d[sel, :] * jnp.asarray(sgn[sel], v2d.dtype)[:, None])
-            outs.append(o.reshape(-1))
-        return jnp.stack(outs), (jnup, jndw)
+                for p, pl in enumerate(planes):
+                    o = jnp.zeros((len(tgt_dw), pl.shape[1]), pl.dtype)
+                    o = o.at[tgt[sel], :].set(
+                        pl[sel, :]
+                        * jnp.asarray(sgn[sel], pl.dtype)[:, None])
+                    outs[p].append(o.reshape(-1))
+        if isinstance(v2d, jax.Array):
+            return jnp.stack(outs[0]), (jnup, jndw)
+        return (SplitVector(jnp.stack(outs[0]), jnp.stack(outs[1])),
+                (jnup, jndw))
     out = np.zeros((nimp, len(tgt_dw) * len(tgt_up)), dtype=v2d.dtype)
     for a in range(nimp):
         if ispin == 0:
@@ -403,14 +413,21 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
         vec = st.get_vector(ns)
         dim_up = len(fock.sector_states(ns, nup))
         dim_dw = len(fock.sector_states(ns, ndw))
-        if isinstance(vec, jax.Array) and not chan4:
+        from .eigenspace import SplitVector, vector_to_host
+        if isinstance(vec, SplitVector):
+            # device-resident split-pair state (complex-H large sector):
+            # excitations AND the 4-channel complex combinations are
+            # built on device, plane-wise (complex dtypes are unusable
+            # on the target TPU)
+            v2d = SplitVector(vec.re.reshape(dim_dw, dim_up),
+                              vec.im.reshape(dim_dw, dim_up))
+        elif isinstance(vec, jax.Array) and not chan4:
             # device-resident large-sector state: excitations built on
-            # device (the 4-channel scheme needs complex combinations,
-            # unsupported on the TPU device path — real problems
-            # auto-select 2-channel, see build_gf_and_sigma)
+            # device (complex combos of a REAL state would need a pair;
+            # real problems auto-select 2-channel, see
+            # build_gf_and_sigma)
             v2d = vec.reshape(dim_dw, dim_up)
         else:
-            from .eigenspace import vector_to_host
             v2d = vector_to_host(vec).reshape(dim_dw, dim_up)
 
         for ispin in range(cfg.nspin):
@@ -439,7 +456,12 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                             vecs.append(base[a] + ph * base[b])
                             meta.append(((a, b), -1j, istate, ei, isign,
                                          ispin))
-                if isinstance(base, jax.Array):
+                if isinstance(base, SplitVector):
+                    stacked = SplitVector(
+                        jnp.stack([v.re for v in vecs]),
+                        jnp.stack([v.im for v in vecs]))
+                    is_real = False
+                elif isinstance(base, jax.Array):
                     stacked = jnp.stack(vecs)
                     is_real = not jnp.iscomplexobj(stacked)
                 else:
@@ -449,10 +471,24 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                     (stacked, meta))
 
     # --- run one batched tridiagonalisation per target-sector group ------
+    from .eigenspace import SplitVector as _SV
     for (jnup, jndw, is_real), entries in jobs.items():
-        on_dev = all(isinstance(e[0], jax.Array) for e in entries)
-        cat = jnp.concatenate if on_dev else np.concatenate
-        batch = cat([e[0] for e in entries])
+        if any(isinstance(e[0], _SV) for e in entries):
+            # split-pair device batch; host complex stacks in the same
+            # group ride along as device planes
+            def planes_of(x):
+                if isinstance(x, _SV):
+                    return x.re, x.im
+                a = np.asarray(x)
+                return (jnp.asarray(np.ascontiguousarray(a.real)),
+                        jnp.asarray(np.ascontiguousarray(a.imag)))
+            pl = [planes_of(e[0]) for e in entries]
+            batch = _SV(jnp.concatenate([p[0] for p in pl]),
+                        jnp.concatenate([p[1] for p in pl]))
+        else:
+            on_dev = all(isinstance(e[0], jax.Array) for e in entries)
+            cat = jnp.concatenate if on_dev else np.concatenate
+            batch = cat([e[0] for e in entries])
         meta = [m for e in entries for m in e[1]]
         # chunk so the Krylov working set stays bounded (large sectors:
         # 3 live planes per row of the batch)
@@ -476,14 +512,17 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                 else:
                     app, dev, dim_p, embed, extract, blarge = \
                         matvec_for(jnup, jndw)
+                    sub_e = ((embed(sub.re), embed(sub.im))
+                             if isinstance(sub, _SV) else embed(sub))
                     alphas, betas, norms = \
                         lanczos.lanczos_tridiag_batched_split(
-                            app, embed(sub), nlanc, op=dev,
+                            app, sub_e, nlanc, op=dev,
                             dtype=gf_dtype, op_batched=blarge)
             else:
                 mv = matvec_for(jnup, jndw)
+                sub_h = sub.to_host() if isinstance(sub, _SV) else sub
                 alphas, betas, norms = lanczos.lanczos_tridiag_batched(
-                    mv, jnp.asarray(sub), nlanc)
+                    mv, jnp.asarray(sub_h), nlanc)
                 chain_floor = 1e-16
             for k, ((a, b), vfac, istate, ei, isign, ispin) in \
                     enumerate(sub_meta):

@@ -181,20 +181,31 @@ def lanczos_tridiag_batched_split(matvec_pair, v0: np.ndarray, niter: int,
                                   op_batched: bool = False):
     """Split-representation batched tridiagonalisation (TPU path).
 
-    v0 : complex host array [B, dim]; ``matvec_pair`` maps one (vr, vi)
+    v0 : complex host array [B, dim], OR a ``(v0r, v0i)`` tuple of
+    DEVICE plane arrays [B, dim] (split-pair states: normalised on
+    device, no host round-trip); ``matvec_pair`` maps one (vr, vi)
     [dim] pair (legacy closure form) or is a pure ``apply(op, vr, vi)``
     with ``op=`` given (kernel shared across sectors/bath updates).
     ``op_batched=True`` marks ``matvec_pair`` as already batched over the
     leading axis (e.g. the large-sector kernels that fold the batch into
     the SpMM width) — no vmap is applied.
     Returns the same host arrays as :func:`lanczos_tridiag_batched`."""
-    v0 = np.asarray(v0)
-    norms0 = np.linalg.norm(v0, axis=1)
-    scale = np.where(norms0 > 1e-300, norms0, 1.0)
-    v0r = jnp.asarray(np.ascontiguousarray(v0.real / scale[:, None]),
-                      dtype)
-    v0i = jnp.asarray(np.ascontiguousarray(v0.imag / scale[:, None]),
-                      dtype)
+    if isinstance(v0, tuple):
+        v0r_d, v0i_d = v0
+        norms0_d = jnp.sqrt(jnp.sum(v0r_d * v0r_d, axis=1)
+                            + jnp.sum(v0i_d * v0i_d, axis=1))
+        sc = jnp.maximum(norms0_d, 1e-300)[:, None]
+        v0r = (v0r_d / sc).astype(dtype)
+        v0i = (v0i_d / sc).astype(dtype)
+        norms0 = np.asarray(norms0_d)
+    else:
+        v0 = np.asarray(v0)
+        norms0 = np.linalg.norm(v0, axis=1)
+        scale = np.where(norms0 > 1e-300, norms0, 1.0)
+        v0r = jnp.asarray(np.ascontiguousarray(v0.real / scale[:, None]),
+                          dtype)
+        v0i = jnp.asarray(np.ascontiguousarray(v0.imag / scale[:, None]),
+                          dtype)
     apply_fn, opd, cached = _as_applier(matvec_pair, op)
     run = (_tridiag_split_run(apply_fn, niter, op_batched) if cached
            else _tridiag_split_run.__wrapped__(apply_fn, niter,
