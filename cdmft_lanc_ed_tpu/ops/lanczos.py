@@ -713,20 +713,84 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
         t_proj[:, :k, k] = b_row.conj()
 
 
-def rayleigh_refine_real(matvec_real64, vecs: np.ndarray, neigen: int):
+def _orth_expand_block(qi, block, rng):
+    """Orthonormalise ``block`` [dim, m] against orthonormal ``qi``
+    [dim, k] (CGS2 + QR).  Near-dependent columns — e.g. the residual
+    block of an already-converged member — are replaced by random
+    directions (QR's arbitrary completion columns are NOT orthogonal to
+    ``qi``, which would corrupt the Rayleigh quotient)."""
+    for _ in range(2):
+        block = block - qi @ (qi.conj().T @ block)
+    qb, rr = np.linalg.qr(block)
+    d = np.abs(np.diag(rr))
+    scale = d.max() if d.size else 0.0
+    bad = d <= max(scale, 1e-300) * 1e-10
+    if bad.any():
+        n = qi.shape[0]
+        for j in np.nonzero(bad)[0]:
+            v = rng.normal(size=n)
+            if np.iscomplexobj(qb):
+                v = v + 1j * rng.normal(size=n)
+            qb[:, j] = v / np.linalg.norm(v)
+        for _ in range(2):
+            qb = qb - qi @ (qi.conj().T @ qb)
+        qb, _ = np.linalg.qr(qb)
+    return qb
+
+
+def _refine_loop_host(hcols, q, neigen: int, rtol, max_expand: int,
+                      dim: int, complex_: bool):
+    """Shared Rayleigh-Ritz + residual-block subspace expansion loop.
+
+    ``q`` [dim, k0] orthonormal start basis, ``hcols(cols) -> H @ cols``.
+    Each expansion appends the orthonormalised residual block of the
+    ``neigen`` wanted Ritz pairs (block Jacobi-Davidson without
+    preconditioner == block-Krylov growth): with f32-quality starting
+    vectors each round gains ~the f32 residual factor, reaching f64
+    targets in 1-3 extra rounds of ``neigen`` matvecs — orders of
+    magnitude cheaper than the full f64 thick-restart fallback it
+    replaces for near-degenerate members."""
+    w = hcols(q)
+    theta = new_vecs = wmix = resid = None
+    for it in range(max_expand + 1):
+        hk = q.conj().T @ w if complex_ else q.T @ w
+        hk = 0.5 * (hk + hk.conj().T)
+        theta, s = np.linalg.eigh(hk)
+        theta = theta.real
+        new_vecs = q @ s                               # [dim, k]
+        wmix = w @ s
+        resid = np.linalg.norm(wmix - new_vecs * theta[None, :], axis=0)
+        done = (rtol is None or np.all(
+            resid[:neigen] <= rtol * np.maximum(np.abs(theta[:neigen]),
+                                                1.0)))
+        if done or it == max_expand or q.shape[1] + neigen > min(dim, 96):
+            break
+        r = wmix[:, :neigen] - new_vecs[:, :neigen] * theta[None, :neigen]
+        qn = _orth_expand_block(q, r, np.random.default_rng(8527 + it))
+        q = np.concatenate([q, qn], axis=1)
+        w = np.concatenate([w, hcols(qn)], axis=1)
+    return theta, new_vecs, resid
+
+
+def rayleigh_refine_real(matvec_real64, vecs: np.ndarray, neigen: int,
+                         rtol=None, max_expand: int = 4):
     """Real-plane variant of :func:`rayleigh_refine` (real symmetric H,
-    real approximate eigenbasis)."""
+    real approximate eigenbasis).  When ``rtol`` is given the subspace is
+    expanded with residual blocks until the wanted residuals meet
+    ``rtol*max(|theta|,1)`` (or ``max_expand`` rounds)."""
     k, dim = np.real(vecs).shape
     q, _ = np.linalg.qr(np.real(vecs).T)
-    w = np.empty((dim, k))
-    for j in range(k):
-        w[:, j] = np.asarray(matvec_real64(jnp.asarray(q[:, j])))
-    hk = q.T @ w
-    hk = 0.5 * (hk + hk.T)
-    theta, s = np.linalg.eigh(hk)
-    new_vecs = (q @ s).T
-    resid = np.linalg.norm(w @ s - new_vecs.T * theta[None, :], axis=0)
-    return theta[:neigen], new_vecs[:neigen], resid[:neigen]
+
+    def hcols(cols):
+        out = np.empty_like(cols)
+        for j in range(cols.shape[1]):
+            out[:, j] = np.asarray(matvec_real64(jnp.asarray(
+                np.ascontiguousarray(cols[:, j]))))
+        return out
+
+    theta, new_vecs, resid = _refine_loop_host(
+        hcols, q, neigen, rtol, max_expand, dim, complex_=False)
+    return theta[:neigen], new_vecs.T[:neigen], resid[:neigen]
 
 
 @functools.partial(jax.jit, static_argnames=("nch",))
@@ -808,6 +872,7 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
                               maxiter=maxiter, tol=f32_tol, v0=v0,
                               seed=seed, dtype=jnp.float32, op=op32,
                               device_vectors=device_vectors)
+    rtol = np.sqrt(max(tol, 1e-15))
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_real_device(
             matvec_real64, res32.eigenvectors, neigen, op64=op64)
@@ -815,10 +880,9 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
         mv64 = (matvec_real64 if op64 is None
                 else (lambda x: matvec_real64(op64, x)))
         theta, vecs, resid = rayleigh_refine_real(
-            mv64, res32.eigenvectors, neigen)
+            mv64, res32.eigenvectors, neigen, rtol=rtol)
     nmv = res32.iterations + len(res32.eigenvectors)
-    ok = np.all(resid <= np.sqrt(max(tol, 1e-15))
-                * np.maximum(np.abs(theta), 1.0))
+    ok = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0))
     if not ok:
         v0_64 = np.asarray(vecs[0])
         res64 = lanczos_eigh_real(matvec_real64, dim, neigen=neigen,
@@ -830,25 +894,66 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     return EighResult(theta, vecs, nmv, True)
 
 
+def _refine_loop_host_batched(hcols, q, neigen: int, rtol,
+                              max_expand: int, dim: int, complex_: bool):
+    """Batched twin of :func:`_refine_loop_host`: ``q`` [B, dim, k0];
+    all members expand in lockstep (the batched matvec runs anyway) until
+    EVERY member's wanted residuals meet the target."""
+    w = hcols(q)
+    theta = new_vecs = wmix = resid = None
+    b = q.shape[0]
+    for it in range(max_expand + 1):
+        hk = np.einsum("bdk,bdl->bkl", q.conj(), w)
+        hk = 0.5 * (hk + hk.conj().transpose(0, 2, 1))
+        theta, s = np.linalg.eigh(hk)                  # [B, k], [B, k, k]
+        theta = theta.real
+        new_vecs = np.einsum("bdk,bkl->bdl", q, s)     # [B, dim, k]
+        wmix = np.einsum("bdk,bkl->bdl", w, s)
+        resid = np.linalg.norm(
+            wmix - new_vecs * theta[:, None, :], axis=1)   # [B, k]
+        done = (rtol is None or np.all(
+            resid[:, :neigen]
+            <= rtol * np.maximum(np.abs(theta[:, :neigen]), 1.0)))
+        if done or it == max_expand \
+                or q.shape[2] + neigen > min(dim, 96):
+            break
+        r = wmix[:, :, :neigen] \
+            - new_vecs[:, :, :neigen] * theta[:, None, :neigen]
+        qn = np.empty_like(r)
+        for i in range(b):
+            qn[i] = _orth_expand_block(
+                q[i], r[i], np.random.default_rng(8527 + 31 * i + it))
+        q = np.concatenate([q, qn], axis=2)
+        w = np.concatenate([w, hcols(qn)], axis=2)
+    return theta, new_vecs, resid
+
+
 def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
-                                 neigen: int, op64=None):
+                                 neigen: int, op64=None, rtol=None,
+                                 max_expand: int = 4):
     """Batched real Rayleigh-Ritz refine: vecs [B, k, dim] approximate
     (f32) eigenbases, one batched f64 matvec [B, dim] -> [B, dim].
+    With ``rtol`` set, residual-block subspace expansion runs until every
+    member's wanted residuals meet ``rtol*max(|theta|,1)`` (<= ``max_expand``
+    rounds of ``neigen`` extra batched matvecs) — this is what keeps
+    near-degenerate members off the full-f64 fallback.
     Returns (theta [B, ne], vecs [B, ne, dim], resid [B, ne])."""
     apply_fn, opd, _ = _as_applier(matvec_batched64, op64)
     b, k, dim = vecs.shape
     q = np.stack([np.linalg.qr(np.real(vecs[i]).T)[0] for i in range(b)])
-    w = np.empty((b, dim, k))
-    for j in range(k):
-        w[:, :, j] = np.asarray(apply_fn(opd, jnp.asarray(q[:, :, j])))
-    hk = np.einsum("bdk,bdl->bkl", q, w)
-    hk = 0.5 * (hk + hk.transpose(0, 2, 1))
-    theta, s = np.linalg.eigh(hk)                      # [B, k], [B, k, k]
-    new_vecs = np.einsum("bdk,bkl->bld", q, s)         # [B, k, dim]
-    resid = np.linalg.norm(
-        np.einsum("bdk,bkl->bld", w, s)
-        - new_vecs * theta[:, :, None], axis=2)        # [B, k]
-    return (theta[:, :neigen], new_vecs[:, :neigen], resid[:, :neigen])
+
+    def hcols(cols):
+        out = np.empty_like(cols)
+        for j in range(cols.shape[2]):
+            out[:, :, j] = np.asarray(apply_fn(opd, jnp.asarray(
+                np.ascontiguousarray(cols[:, :, j]))))
+        return out
+
+    theta, new_vecs, resid = _refine_loop_host_batched(
+        hcols, q, neigen, rtol, max_expand, dim, complex_=False)
+    return (theta[:, :neigen],
+            new_vecs.transpose(0, 2, 1)[:, :neigen],
+            resid[:, :neigen])
 
 
 def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
@@ -881,9 +986,9 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
     if callable(op64):
         op64 = op64()
     vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
-    theta, vecs, resid = rayleigh_refine_real_batched(
-        matvec_batched64, vecs32, neigen, op64=op64)
     rtol = np.sqrt(max(tol, 1e-15))
+    theta, vecs, resid = rayleigh_refine_real_batched(
+        matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
     out = []
     for i in range(nbatch):
         nmv = res32[i].iterations + vecs32.shape[1]
@@ -899,27 +1004,30 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
 
 
 def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
-                                  neigen: int, op64=None):
+                                  neigen: int, op64=None, rtol=None,
+                                  max_expand: int = 4):
     """Batched complex Rayleigh-Ritz refine on the split-pair kernel:
     vecs [B, k, dim] complex approximate eigenbases, one batched f64 pair
-    matvec (xr, xi) [B, dim] -> (wr, wi).
+    matvec (xr, xi) [B, dim] -> (wr, wi).  ``rtol``/``max_expand`` as in
+    :func:`rayleigh_refine_real_batched`.
     Returns (theta [B, ne], vecs [B, ne, dim] complex, resid [B, ne])."""
     apply_fn, opd, _ = _as_applier(matvec_pair_batched64, op64)
     b, k, dim = vecs.shape
     q = np.stack([np.linalg.qr(vecs[i].T)[0] for i in range(b)])
-    w = np.empty((b, dim, k), np.complex128)
-    for j in range(k):
-        qj = np.ascontiguousarray(q[:, :, j])
-        wr, wi = apply_fn(opd, jnp.asarray(qj.real), jnp.asarray(qj.imag))
-        w[:, :, j] = np.asarray(wr) + 1j * np.asarray(wi)
-    hk = np.einsum("bdk,bdl->bkl", q.conj(), w)
-    hk = 0.5 * (hk + hk.conj().transpose(0, 2, 1))
-    theta, s = np.linalg.eigh(hk)                      # [B, k], [B, k, k]
-    new_vecs = np.einsum("bdk,bkl->bld", q, s)         # [B, k, dim]
-    resid = np.linalg.norm(
-        np.einsum("bdk,bkl->bld", w, s)
-        - new_vecs * theta[:, :, None], axis=2)
-    return (theta[:, :neigen].real, new_vecs[:, :neigen],
+
+    def hcols(cols):
+        out = np.empty_like(cols)
+        for j in range(cols.shape[2]):
+            qj = np.ascontiguousarray(cols[:, :, j])
+            wr, wi = apply_fn(opd, jnp.asarray(qj.real),
+                              jnp.asarray(qj.imag))
+            out[:, :, j] = np.asarray(wr) + 1j * np.asarray(wi)
+        return out
+
+    theta, new_vecs, resid = _refine_loop_host_batched(
+        hcols, q, neigen, rtol, max_expand, dim, complex_=True)
+    return (theta[:, :neigen].real,
+            new_vecs.transpose(0, 2, 1)[:, :neigen],
             resid[:, :neigen])
 
 
@@ -942,9 +1050,9 @@ def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
     if callable(op64):
         op64 = op64()
     vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
-    theta, vecs, resid = rayleigh_refine_split_batched(
-        matvec_batched64, vecs32, neigen, op64=op64)
     rtol = np.sqrt(max(tol, 1e-15))
+    theta, vecs, resid = rayleigh_refine_split_batched(
+        matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
     out = []
     for i in range(nbatch):
         nmv = res32[i].iterations + vecs32.shape[1]
@@ -1224,7 +1332,8 @@ def lanczos_eigh(matvec: Callable, dim: int, neigen: int,
         t_proj[:k, k] = b_row.conj()
 
 
-def rayleigh_refine(matvec_pair64, vecs: np.ndarray, neigen: int):
+def rayleigh_refine(matvec_pair64, vecs: np.ndarray, neigen: int,
+                    rtol=None, max_expand: int = 4):
     """f64 Rayleigh-Ritz refinement of an approximate eigenbasis.
 
     vecs : complex [k, dim] approximate eigenvectors (e.g. from an f32
@@ -1232,20 +1341,24 @@ def rayleigh_refine(matvec_pair64, vecs: np.ndarray, neigen: int):
     the f64 kernel, diagonalises the k x k Rayleigh quotient.  Energy
     error ~ ||residual||^2 / gap: 1e-6-accurate f32 vectors give
     ~1e-12-accurate energies (the standard mixed-precision scheme used by
-    the TPU ground-state literature, e.g. arXiv:2111.10466)."""
+    the TPU ground-state literature, e.g. arXiv:2111.10466).  With
+    ``rtol`` set, residual-block expansion runs as in
+    :func:`rayleigh_refine_real`."""
     k, dim = vecs.shape
     q, _ = np.linalg.qr(vecs.T)            # [dim, k] orthonormal
-    w = np.empty((dim, k), np.complex128)
-    for j in range(k):
-        wr, wi = matvec_pair64(jnp.asarray(q[:, j].real),
-                               jnp.asarray(q[:, j].imag))
-        w[:, j] = np.asarray(wr) + 1j * np.asarray(wi)
-    hk = q.conj().T @ w
-    hk = 0.5 * (hk + hk.conj().T)
-    theta, s = np.linalg.eigh(hk)
-    new_vecs = (q @ s).T                   # [k, dim]
-    resid = np.linalg.norm(w @ s - new_vecs.T * theta[None, :], axis=0)
-    return theta[:neigen], new_vecs[:neigen], resid[:neigen]
+
+    def hcols(cols):
+        out = np.empty_like(cols)
+        for j in range(cols.shape[1]):
+            cj = np.ascontiguousarray(cols[:, j])
+            wr, wi = matvec_pair64(jnp.asarray(cj.real),
+                                   jnp.asarray(cj.imag))
+            out[:, j] = np.asarray(wr) + 1j * np.asarray(wi)
+        return out
+
+    theta, new_vecs, resid = _refine_loop_host(
+        hcols, q, neigen, rtol, max_expand, dim, complex_=True)
+    return theta[:neigen], new_vecs.T[:neigen], resid[:neigen]
 
 
 def rayleigh_refine_split_device(matvec_pair64, vecs, neigen: int,
@@ -1313,6 +1426,7 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
                                maxiter=maxiter, tol=f32_tol, v0=v0,
                                seed=seed, dtype=jnp.float32, op=op32,
                                device_vectors=device_vectors)
+    rtol = np.sqrt(max(tol, 1e-15))
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_split_device(
             matvec_pair64, res32.eigenvectors, neigen, op64=op64)
@@ -1320,12 +1434,11 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
     else:
         mv64 = (matvec_pair64 if op64 is None
                 else (lambda vr, vi: matvec_pair64(op64, vr, vi)))
-        theta, vecs, resid = rayleigh_refine(mv64,
-                                             res32.eigenvectors, neigen)
+        theta, vecs, resid = rayleigh_refine(mv64, res32.eigenvectors,
+                                             neigen, rtol=rtol)
         nmv = res32.iterations + len(res32.eigenvectors)
     # residual-based error estimate; polish in f64 if insufficient
-    ok = np.all(resid <= np.sqrt(max(tol, 1e-15))
-                * np.maximum(np.abs(theta), 1.0))
+    ok = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0))
     if not ok:
         v0_64 = ((np.asarray(vecs[0][0]) + 1j * np.asarray(vecs[1][0]))
                  if device_vectors else vecs[0])

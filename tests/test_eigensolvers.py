@@ -128,3 +128,86 @@ def test_gf_chain_invariant_subspace_no_ghost_poles():
     np.testing.assert_allclose(g_chain, g_exact, rtol=1e-9, atol=1e-10)
     # no ghost poles outside the reachable block's spectrum
     assert len(ch.poles) <= 3
+
+
+def _clustered_sym(dim, rng, gaps=(0.0, 1e-5, 3e-5), complex_=False):
+    """Symmetric/hermitian matrix whose 3 lowest eigenvalues are split by
+    ~1e-5 — below f32 resolution, the regime that used to force the mixed
+    path onto the full-f64 fallback."""
+    evals = np.concatenate([np.asarray(gaps),
+                            np.linspace(0.5, 10.0, dim - len(gaps))])
+    a = rng.normal(size=(dim, dim))
+    if complex_:
+        a = a + 1j * rng.normal(size=(dim, dim))
+    q = np.linalg.qr(a)[0]
+    return (q * evals) @ q.conj().T, evals
+
+
+def test_mixed_real_batched_refine_expansion_no_fallback():
+    """The residual-block expansion in the f64 Rayleigh-Ritz refine
+    resolves near-degenerate clusters to f64 residuals, so the expensive
+    full-f64 thick-restart fallback never fires."""
+    rng = np.random.default_rng(11)
+    dim = 384
+    mats = [_clustered_sym(dim, rng)[0] for _ in range(2)]
+    w_ref = [np.linalg.eigvalsh(m) for m in mats]
+    a32 = jnp.asarray(np.stack(mats), jnp.float32)
+    a64 = jnp.asarray(np.stack(mats), jnp.float64)
+
+    def mv32(x):                              # [B, dim] -> [B, dim]
+        return jnp.einsum("bij,bj->bi", a32, x)
+
+    def mv64(x):
+        return jnp.einsum("bij,bj->bi", a64, x)
+
+    def fb(i, v0_row):
+        raise AssertionError("f64 fallback must not trigger")
+
+    v0 = rng.normal(size=(2, dim))
+    res = lanczos.lanczos_eigh_mixed_real_batched(
+        mv32, mv64, 2, dim, neigen=3, ncv=30, maxiter=800, tol=1e-13,
+        v0=v0, fallback64=fb)
+    for i, (r, w) in enumerate(zip(res, w_ref)):
+        assert r.converged
+        np.testing.assert_allclose(r.eigenvalues, w[:3], atol=2e-9)
+        # refined VECTORS now resolve the 1e-5 cluster to f64 residuals
+        for k in range(3):
+            hv = mats[i] @ r.eigenvectors[k]
+            assert np.linalg.norm(hv - w[k] * r.eigenvectors[k]) < 1e-6
+
+
+def test_mixed_split_batched_refine_expansion_no_fallback():
+    """Complex twin of the expansion test (split-pair refine)."""
+    rng = np.random.default_rng(12)
+    dim = 256
+    mats = [_clustered_sym(dim, rng, complex_=True)[0] for _ in range(2)]
+    w_ref = [np.linalg.eigvalsh(m) for m in mats]
+    ar32 = jnp.asarray(np.stack([m.real for m in mats]), jnp.float32)
+    ai32 = jnp.asarray(np.stack([m.imag for m in mats]), jnp.float32)
+    ar64 = jnp.asarray(np.stack([m.real for m in mats]), jnp.float64)
+    ai64 = jnp.asarray(np.stack([m.imag for m in mats]), jnp.float64)
+
+    def mv32(xr, xi):
+        wr = jnp.einsum("bij,bj->bi", ar32, xr) \
+            - jnp.einsum("bij,bj->bi", ai32, xi)
+        wi = jnp.einsum("bij,bj->bi", ar32, xi) \
+            + jnp.einsum("bij,bj->bi", ai32, xr)
+        return wr, wi
+
+    def mv64(xr, xi):
+        wr = jnp.einsum("bij,bj->bi", ar64, xr) \
+            - jnp.einsum("bij,bj->bi", ai64, xi)
+        wi = jnp.einsum("bij,bj->bi", ar64, xi) \
+            + jnp.einsum("bij,bj->bi", ai64, xr)
+        return wr, wi
+
+    def fb(i, v0_row):
+        raise AssertionError("f64 fallback must not trigger")
+
+    v0 = rng.normal(size=(2, dim)) + 1j * rng.normal(size=(2, dim))
+    res = lanczos.lanczos_eigh_mixed_split_batched(
+        mv32, mv64, 2, dim, neigen=3, ncv=30, maxiter=800, tol=1e-13,
+        v0=v0, fallback64=fb)
+    for r, w in zip(res, w_ref):
+        assert r.converged
+        np.testing.assert_allclose(r.eigenvalues, w[:3], atol=2e-9)
