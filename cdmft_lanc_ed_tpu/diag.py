@@ -243,13 +243,16 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         # batched f64 Rayleigh-Ritz refine; the f64 stack
                         # is built lazily AFTER the f32 stage (thunk), so
                         # the two operator stacks never coexist in HBM
+                        rtol_mx = float(np.sqrt(
+                            max(cfg.lanc_tolerance, 1e-15)))
+
                         def fb64(i, v0_row, _chunk=chunk):
                             dev_i = split.build_real_padded(_chunk[i][1])[0]
                             return lanczos.lanczos_eigh_real(
                                 split.apply_real_flat, dim_p,
                                 neigen=neigen_g, ncv=ncv_g,
                                 maxiter=maxiter_g,
-                                tol=cfg.lanc_tolerance, v0=v0_row,
+                                tol=rtol_mx, v0=v0_row,
                                 op=dev_i)
 
                         res_list = lanczos.lanczos_eigh_mixed_real_batched(
@@ -279,13 +282,16 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             m[1].dim_dw, m[1].dim_up, ddp, dup)
                         for m in chunk])
                     if cfg.ed_precision == "mixed":
+                        rtol_mx = float(np.sqrt(
+                            max(cfg.lanc_tolerance, 1e-15)))
+
                         def fb64c(i, v0_row, _chunk=chunk):
                             dev_i = split.build_pair_padded(_chunk[i][1])[0]
                             return lanczos.lanczos_eigh_split(
                                 split.apply_pair_flat, dim_p,
                                 neigen=neigen_g, ncv=ncv_g,
                                 maxiter=maxiter_g,
-                                tol=cfg.lanc_tolerance, v0=v0_row,
+                                tol=rtol_mx, v0=v0_row,
                                 op=dev_i)
 
                         res_list = \

@@ -773,7 +773,7 @@ def _refine_loop_host(hcols, q, neigen: int, rtol, max_expand: int,
 
 
 def rayleigh_refine_real(matvec_real64, vecs: np.ndarray, neigen: int,
-                         rtol=None, max_expand: int = 4):
+                         rtol=None, max_expand: int = 2):
     """Real-plane variant of :func:`rayleigh_refine` (real symmetric H,
     real approximate eigenbasis).  When ``rtol`` is given the subspace is
     expanded with residual blocks until the wanted residuals meet
@@ -886,7 +886,7 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     if not ok:
         v0_64 = np.asarray(vecs[0])
         res64 = lanczos_eigh_real(matvec_real64, dim, neigen=neigen,
-                                  ncv=ncv, maxiter=maxiter, tol=tol,
+                                  ncv=ncv, maxiter=maxiter, tol=rtol,
                                   v0=v0_64, seed=seed, op=op64,
                                   device_vectors=device_vectors)
         return EighResult(res64.eigenvalues, res64.eigenvectors,
@@ -899,6 +899,8 @@ def _refine_loop_host_batched(hcols, q, neigen: int, rtol,
     """Batched twin of :func:`_refine_loop_host`: ``q`` [B, dim, k0];
     all members expand in lockstep (the batched matvec runs anyway) until
     EVERY member's wanted residuals meet the target."""
+    import os
+    dbg = os.environ.get("CDMFT_DEBUG_REFINE")
     w = hcols(q)
     theta = new_vecs = wmix = resid = None
     b = q.shape[0]
@@ -914,6 +916,10 @@ def _refine_loop_host_batched(hcols, q, neigen: int, rtol,
         done = (rtol is None or np.all(
             resid[:, :neigen]
             <= rtol * np.maximum(np.abs(theta[:, :neigen]), 1.0)))
+        if dbg:
+            print(f"# refine[b] it={it} k={q.shape[2]} rtol={rtol} "
+                  f"worst_resid={resid[:, :neigen].max():.3e} "
+                  f"theta0={theta[:, 0]}", flush=True)
         if done or it == max_expand \
                 or q.shape[2] + neigen > min(dim, 96):
             break
@@ -930,7 +936,7 @@ def _refine_loop_host_batched(hcols, q, neigen: int, rtol,
 
 def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
                                  neigen: int, op64=None, rtol=None,
-                                 max_expand: int = 4):
+                                 max_expand: int = 2):
     """Batched real Rayleigh-Ritz refine: vecs [B, k, dim] approximate
     (f32) eigenbases, one batched f64 matvec [B, dim] -> [B, dim].
     With ``rtol`` set, residual-block subspace expansion runs until every
@@ -989,13 +995,32 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
     rtol = np.sqrt(max(tol, 1e-15))
     theta, vecs, resid = rayleigh_refine_real_batched(
         matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
+    okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
+    res64 = None
+    if not okm.all():
+        # batched warm-started f64 polish: Krylov convergence (the
+        # subspace-expansion refine is gap-limited) in ONE batched stream
+        # — the serial per-member f64 fallback is latency-bound on the
+        # TPU tunnel (one host sync per restart per member)
+        v0_64 = np.ascontiguousarray(vecs[:, 0])
+        # polish to the mixed-path acceptance target rtol, NOT the raw
+        # tol: cfg-level tol (1e-18) floors to f64 eps inside the solver
+        # — an unreachable Lanczos residual that grinds to maxiter
+        res64 = lanczos_eigh_real_batched(
+            matvec_batched64, nbatch, dim, neigen=neigen, ncv=ncv,
+            maxiter=maxiter, tol=rtol, v0=v0_64, seed=seed, op=op64)
     out = []
     for i in range(nbatch):
         nmv = res32[i].iterations + vecs32.shape[1]
-        ok = np.all(resid[i] <= rtol * np.maximum(np.abs(theta[i]), 1.0))
-        if ok or fallback64 is None:
+        if okm[i]:
             out.append(EighResult(theta[i].copy(), vecs[i].copy(), nmv,
-                                  bool(ok)))
+                                  True))
+        elif res64 is not None and (res64[i].converged
+                                    or fallback64 is None):
+            out.append(EighResult(res64[i].eigenvalues,
+                                  res64[i].eigenvectors,
+                                  nmv + res64[i].iterations,
+                                  res64[i].converged))
         else:
             r64 = fallback64(i, vecs[i, 0])
             out.append(EighResult(r64.eigenvalues, r64.eigenvectors,
@@ -1005,7 +1030,7 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
 
 def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
                                   neigen: int, op64=None, rtol=None,
-                                  max_expand: int = 4):
+                                  max_expand: int = 2):
     """Batched complex Rayleigh-Ritz refine on the split-pair kernel:
     vecs [B, k, dim] complex approximate eigenbases, one batched f64 pair
     matvec (xr, xi) [B, dim] -> (wr, wi).  ``rtol``/``max_expand`` as in
@@ -1053,13 +1078,26 @@ def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
     rtol = np.sqrt(max(tol, 1e-15))
     theta, vecs, resid = rayleigh_refine_split_batched(
         matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
+    okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
+    res64 = None
+    if not okm.all():
+        # batched warm-started f64 polish (see the real twin)
+        v0_64 = np.ascontiguousarray(vecs[:, 0])
+        res64 = lanczos_eigh_split_batched(
+            matvec_batched64, nbatch, dim, neigen=neigen, ncv=ncv,
+            maxiter=maxiter, tol=rtol, v0=v0_64, seed=seed, op=op64)
     out = []
     for i in range(nbatch):
         nmv = res32[i].iterations + vecs32.shape[1]
-        ok = np.all(resid[i] <= rtol * np.maximum(np.abs(theta[i]), 1.0))
-        if ok or fallback64 is None:
+        if okm[i]:
             out.append(EighResult(theta[i].copy(), vecs[i].copy(), nmv,
-                                  bool(ok)))
+                                  True))
+        elif res64 is not None and (res64[i].converged
+                                    or fallback64 is None):
+            out.append(EighResult(res64[i].eigenvalues,
+                                  res64[i].eigenvectors,
+                                  nmv + res64[i].iterations,
+                                  res64[i].converged))
         else:
             r64 = fallback64(i, vecs[i, 0])
             out.append(EighResult(r64.eigenvalues, r64.eigenvectors,
@@ -1333,7 +1371,7 @@ def lanczos_eigh(matvec: Callable, dim: int, neigen: int,
 
 
 def rayleigh_refine(matvec_pair64, vecs: np.ndarray, neigen: int,
-                    rtol=None, max_expand: int = 4):
+                    rtol=None, max_expand: int = 2):
     """f64 Rayleigh-Ritz refinement of an approximate eigenbasis.
 
     vecs : complex [k, dim] approximate eigenvectors (e.g. from an f32
@@ -1443,7 +1481,7 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
         v0_64 = ((np.asarray(vecs[0][0]) + 1j * np.asarray(vecs[1][0]))
                  if device_vectors else vecs[0])
         res64 = lanczos_eigh_split(matvec_pair64, dim, neigen=neigen,
-                                   ncv=ncv, maxiter=maxiter, tol=tol,
+                                   ncv=ncv, maxiter=maxiter, tol=rtol,
                                    v0=v0_64, seed=seed, op=op64,
                                    device_vectors=device_vectors)
         return EighResult(res64.eigenvalues, res64.eigenvectors,
