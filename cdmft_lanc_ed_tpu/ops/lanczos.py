@@ -894,6 +894,15 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     return EighResult(theta, vecs, nmv, True)
 
 
+def _polish_fits(nbatch: int, ncv: int, dim: int, planes: int) -> bool:
+    """HBM gate for the batched f64 polish: the f64-emulated batched
+    while-loop costs ~10x its basis bytes in XLA temps on this backend.
+    Budget overridable via CDMFT_POLISH_BYTES (basis bytes, pre-blowup)."""
+    import os
+    budget = float(os.environ.get("CDMFT_POLISH_BYTES", 2e8))
+    return nbatch * (ncv + 1) * dim * 8 * planes <= budget
+
+
 def _refine_loop_host_batched(hcols, q, neigen: int, rtol,
                               max_expand: int, dim: int, complex_: bool):
     """Batched twin of :func:`_refine_loop_host`: ``q`` [B, dim, k0];
@@ -997,15 +1006,19 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
         matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
     okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
     res64 = None
-    if not okm.all():
+    if not okm.all() and (fallback64 is None
+                          or _polish_fits(nbatch, ncv, dim, planes=1)):
         # batched warm-started f64 polish: Krylov convergence (the
         # subspace-expansion refine is gap-limited) in ONE batched stream
-        # — the serial per-member f64 fallback is latency-bound on the
-        # TPU tunnel (one host sync per restart per member)
+        # — the serial per-member f64 fallback pays one host sync per
+        # restart per member on the TPU tunnel.  Polish to the mixed-path
+        # acceptance target rtol, NOT the raw tol: cfg-level tol (1e-18)
+        # floors to f64 eps inside the solver — an unreachable Lanczos
+        # residual that grinds to maxiter.  Above the HBM budget the
+        # (warm, rtol-targeted) per-member fallback takes over: the
+        # f64-emulated batched while-loop materialises O(10) full-basis
+        # temp copies on this backend (observed 22 GB at B=9, dim 1M).
         v0_64 = np.ascontiguousarray(vecs[:, 0])
-        # polish to the mixed-path acceptance target rtol, NOT the raw
-        # tol: cfg-level tol (1e-18) floors to f64 eps inside the solver
-        # — an unreachable Lanczos residual that grinds to maxiter
         res64 = lanczos_eigh_real_batched(
             matvec_batched64, nbatch, dim, neigen=neigen, ncv=ncv,
             maxiter=maxiter, tol=rtol, v0=v0_64, seed=seed, op=op64)
@@ -1080,7 +1093,8 @@ def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
         matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
     okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
     res64 = None
-    if not okm.all():
+    if not okm.all() and (fallback64 is None
+                          or _polish_fits(nbatch, ncv, dim, planes=2)):
         # batched warm-started f64 polish (see the real twin)
         v0_64 = np.ascontiguousarray(vecs[:, 0])
         res64 = lanczos_eigh_split_batched(
