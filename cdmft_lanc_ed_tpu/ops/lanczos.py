@@ -894,13 +894,39 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     return EighResult(theta, vecs, nmv, True)
 
 
-def _polish_fits(nbatch: int, ncv: int, dim: int, planes: int) -> bool:
-    """HBM gate for the batched f64 polish: the f64-emulated batched
-    while-loop costs ~10x its basis bytes in XLA temps on this backend.
-    Budget overridable via CDMFT_POLISH_BYTES (basis bytes, pre-blowup)."""
+def _polish_bmax(ncv: int, dim: int, planes: int) -> int:
+    """Max polish sub-batch under the HBM budget: the f64-emulated
+    batched Lanczos while-loop costs ~10x its basis bytes in XLA temps on
+    this backend (observed 22 GB at B=9, dim 1M).  Budget overridable via
+    CDMFT_POLISH_BYTES (basis bytes, pre-blowup)."""
     import os
     budget = float(os.environ.get("CDMFT_POLISH_BYTES", 2e8))
-    return nbatch * (ncv + 1) * dim * 8 * planes <= budget
+    return max(1, int(budget / ((ncv + 1) * dim * 8 * planes)))
+
+
+def _run_polish_chunked(solver, matvec_batched64, okm, vecs, nbatch: int,
+                        dim: int, neigen: int, ncv: int, maxiter: int,
+                        rtol: float, seed: int, op64, planes: int):
+    """Batched warm-started f64 polish in budget-sized member chunks.
+    With a stacked-op pytree the chunks slice its leading batch axis; a
+    bare closure matvec cannot be subset, so it polishes in one call.
+    Returns a list [nbatch] of EighResult-or-None (None = not polished)."""
+    out = [None] * nbatch
+    v0_64 = np.ascontiguousarray(vecs[:, 0])
+    if op64 is None:
+        return solver(matvec_batched64, nbatch, dim, neigen=neigen,
+                      ncv=ncv, maxiter=maxiter, tol=rtol, v0=v0_64,
+                      seed=seed)
+    bmax = _polish_bmax(ncv, dim, planes)
+    for lo in range(0, nbatch, bmax):
+        hi = min(nbatch, lo + bmax)
+        if okm[lo:hi].all():
+            continue
+        sub = jax.tree_util.tree_map(lambda a: a[lo:hi], op64)
+        out[lo:hi] = solver(matvec_batched64, hi - lo, dim,
+                            neigen=neigen, ncv=ncv, maxiter=maxiter,
+                            tol=rtol, v0=v0_64[lo:hi], seed=seed, op=sub)
+    return out
 
 
 def _refine_loop_host_batched(hcols, q, neigen: int, rtol,
@@ -1005,31 +1031,26 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
     theta, vecs, resid = rayleigh_refine_real_batched(
         matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
     okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
-    res64 = None
-    if not okm.all() and (fallback64 is None
-                          or _polish_fits(nbatch, ncv, dim, planes=1)):
+    res64 = [None] * nbatch
+    if not okm.all():
         # batched warm-started f64 polish: Krylov convergence (the
-        # subspace-expansion refine is gap-limited) in ONE batched stream
-        # — the serial per-member f64 fallback pays one host sync per
-        # restart per member on the TPU tunnel.  Polish to the mixed-path
-        # acceptance target rtol, NOT the raw tol: cfg-level tol (1e-18)
-        # floors to f64 eps inside the solver — an unreachable Lanczos
-        # residual that grinds to maxiter.  Above the HBM budget the
-        # (warm, rtol-targeted) per-member fallback takes over: the
-        # f64-emulated batched while-loop materialises O(10) full-basis
-        # temp copies on this backend (observed 22 GB at B=9, dim 1M).
-        v0_64 = np.ascontiguousarray(vecs[:, 0])
-        res64 = lanczos_eigh_real_batched(
-            matvec_batched64, nbatch, dim, neigen=neigen, ncv=ncv,
-            maxiter=maxiter, tol=rtol, v0=v0_64, seed=seed, op=op64)
+        # subspace-expansion refine is gap-limited) in budget-sized
+        # batched streams — the serial per-member f64 fallback pays one
+        # host sync per restart per member on the TPU tunnel.  Polish to
+        # the mixed-path acceptance target rtol, NOT the raw tol:
+        # cfg-level tol (1e-18) floors to f64 eps inside the solver — an
+        # unreachable Lanczos residual that grinds to maxiter.
+        res64 = _run_polish_chunked(
+            lanczos_eigh_real_batched, matvec_batched64, okm, vecs,
+            nbatch, dim, neigen, ncv, maxiter, rtol, seed, op64, planes=1)
     out = []
     for i in range(nbatch):
         nmv = res32[i].iterations + vecs32.shape[1]
         if okm[i]:
             out.append(EighResult(theta[i].copy(), vecs[i].copy(), nmv,
                                   True))
-        elif res64 is not None and (res64[i].converged
-                                    or fallback64 is None):
+        elif res64[i] is not None and (res64[i].converged
+                                       or fallback64 is None):
             out.append(EighResult(res64[i].eigenvalues,
                                   res64[i].eigenvectors,
                                   nmv + res64[i].iterations,
@@ -1092,22 +1113,20 @@ def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
     theta, vecs, resid = rayleigh_refine_split_batched(
         matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
     okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
-    res64 = None
-    if not okm.all() and (fallback64 is None
-                          or _polish_fits(nbatch, ncv, dim, planes=2)):
-        # batched warm-started f64 polish (see the real twin)
-        v0_64 = np.ascontiguousarray(vecs[:, 0])
-        res64 = lanczos_eigh_split_batched(
-            matvec_batched64, nbatch, dim, neigen=neigen, ncv=ncv,
-            maxiter=maxiter, tol=rtol, v0=v0_64, seed=seed, op=op64)
+    res64 = [None] * nbatch
+    if not okm.all():
+        # budget-chunked batched warm-started f64 polish (see real twin)
+        res64 = _run_polish_chunked(
+            lanczos_eigh_split_batched, matvec_batched64, okm, vecs,
+            nbatch, dim, neigen, ncv, maxiter, rtol, seed, op64, planes=2)
     out = []
     for i in range(nbatch):
         nmv = res32[i].iterations + vecs32.shape[1]
         if okm[i]:
             out.append(EighResult(theta[i].copy(), vecs[i].copy(), nmv,
                                   True))
-        elif res64 is not None and (res64[i].converged
-                                    or fallback64 is None):
+        elif res64[i] is not None and (res64[i].converged
+                                       or fallback64 is None):
             out.append(EighResult(res64[i].eigenvalues,
                                   res64[i].eigenvectors,
                                   nmv + res64[i].iterations,
