@@ -345,6 +345,29 @@ def _restart_split(br, bi, sr, si):
     return jax.lax.fori_loop(0, ncv, body, (z, z))
 
 
+class _StallGuard:
+    """Stops a thick-restart sweep when the worst wanted relative
+    residual has not improved by >=1% for ``limit`` consecutive restarts:
+    the iteration has reached its precision floor (the Lanczos residual
+    estimate bottoms out near dtype-eps * ||H|| * O(sqrt(dim))) and every
+    further restart is pure waste.  Callers with ARPACK tol=0 semantics
+    (cfg tolerances below the floor) previously ground to maxiter —
+    hundreds of device round trips per sector on the TPU tunnel."""
+
+    def __init__(self, limit: int = 3):
+        self.best = np.inf
+        self.n = 0
+        self.limit = limit
+
+    def stalled(self, cur: float) -> bool:
+        if cur < 0.99 * self.best:
+            self.best = cur
+            self.n = 0
+        else:
+            self.n += 1
+        return self.n >= self.limit
+
+
 def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
                       maxiter: int = 512, tol: float = 1e-14,
                       v0: Optional[np.ndarray] = None,
@@ -379,6 +402,7 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
 
     k = 0
     nmv = 0
+    stall = _StallGuard()
     while True:
         basis, cs, betas_d = expand(opd, basis, k)
         cs = np.asarray(cs)
@@ -395,8 +419,10 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
 
         theta, s = np.linalg.eigh(t_proj)
         resid = np.abs(last_beta * s[-1, :])
-        conv = resid[:neigen] <= tol * np.maximum(np.abs(theta[:neigen]), 1.0)
-        if bool(conv.all()) or nmv >= maxiter or ncv >= dim:
+        rel = resid[:neigen] / np.maximum(np.abs(theta[:neigen]), 1.0)
+        conv = rel <= tol
+        if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
+                or stall.stalled(float(rel.max())):
             sj = jnp.asarray(np.ascontiguousarray(s[:, :neigen]))
             if device_vectors:
                 # large sectors: keep the Ritz vectors DEVICE-resident
@@ -522,6 +548,7 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
 
     k = 0
     nmv = 0
+    stall = _StallGuard()
     while True:
         basis, cs, betas_d = expand(opd, basis, k)
         cs = np.asarray(cs)                   # [ncv, B, ncv]
@@ -537,10 +564,11 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
 
         theta, s = np.linalg.eigh(t_proj)     # [B, ncv], [B, ncv, ncv]
         resid = np.abs(last_beta[:, None] * s[:, -1, :])   # [B, ncv]
-        conv = np.all(
-            resid[:, :neigen]
-            <= tol * np.maximum(np.abs(theta[:, :neigen]), 1.0), axis=1)
-        if bool(conv.all()) or nmv >= maxiter or ncv >= dim:
+        rel = resid[:, :neigen] \
+            / np.maximum(np.abs(theta[:, :neigen]), 1.0)
+        conv = np.all(rel <= tol, axis=1)
+        if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
+                or stall.stalled(float(rel.max())):
             sj = jnp.asarray(np.ascontiguousarray(s[:, :, :neigen]))
             vecs = np.asarray(restart_basis(basis, sj))    # [B, ne, dim]
             nrm = np.linalg.norm(vecs, axis=2, keepdims=True)
@@ -667,6 +695,7 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
 
     k = 0
     nmv = 0
+    stall = _StallGuard()
     while True:
         br, bi, crs, cis, betas_d = expand(opd, br, bi, k)
         crs = np.asarray(crs)                  # [ncv, B, ncv]
@@ -684,10 +713,11 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
 
         theta, s = np.linalg.eigh(t_proj)      # [B, ncv], [B, ncv, ncv]
         resid = np.abs(last_beta[:, None] * s[:, -1, :])
-        conv = np.all(
-            resid[:, :neigen]
-            <= tol * np.maximum(np.abs(theta[:, :neigen]), 1.0), axis=1)
-        if bool(conv.all()) or nmv >= maxiter or ncv >= dim:
+        rel = resid[:, :neigen] \
+            / np.maximum(np.abs(theta[:, :neigen]), 1.0)
+        conv = np.all(rel <= tol, axis=1)
+        if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
+                or stall.stalled(float(rel.max())):
             sj = s[:, :, :neigen]
             sr = jnp.asarray(np.ascontiguousarray(sj.real))
             si = jnp.asarray(np.ascontiguousarray(sj.imag))
@@ -1236,6 +1266,7 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
 
     k = 0
     nmv = 0
+    stall = _StallGuard()
     while True:
         # one device call expands k -> ncv (latency-critical over a tunnel)
         br, bi, crs, cis, betas_d = expand(opd, br, bi, k)
@@ -1255,8 +1286,10 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
 
         theta, s = np.linalg.eigh(t_proj)
         resid = np.abs(last_beta * s[-1, :])
-        conv = resid[:neigen] <= tol * np.maximum(np.abs(theta[:neigen]), 1.0)
-        if bool(conv.all()) or nmv >= maxiter or ncv >= dim:
+        rel = resid[:neigen] / np.maximum(np.abs(theta[:neigen]), 1.0)
+        conv = rel <= tol
+        if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
+                or stall.stalled(float(rel.max())):
             sr = jnp.asarray(np.ascontiguousarray(s[:, :neigen].real))
             si = jnp.asarray(np.ascontiguousarray(s[:, :neigen].imag))
             nr, ni = restart_basis(br, bi, sr, si)
@@ -1363,6 +1396,7 @@ def lanczos_eigh(matvec: Callable, dim: int, neigen: int,
     k = 0                 # locked/restart prefix size
     nmv = 0
     ritz_vals = np.zeros(0)
+    stall = _StallGuard()
     while True:
         # expand k -> ncv
         for j in range(k, ncv):
@@ -1379,9 +1413,11 @@ def lanczos_eigh(matvec: Callable, dim: int, neigen: int,
 
         theta, s = np.linalg.eigh(t_proj)
         resid = np.abs(last_beta * s[-1, :])
-        conv = resid[:neigen] <= tol * np.maximum(np.abs(theta[:neigen]), 1.0)
+        rel = resid[:neigen] / np.maximum(np.abs(theta[:neigen]), 1.0)
+        conv = rel <= tol
         ritz_vals = theta[:neigen]
-        if bool(conv.all()) or nmv >= maxiter or ncv >= dim:
+        if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
+                or stall.stalled(float(rel.max())):
             svec = jnp.asarray(s[:, :neigen])
             vecs = (svec.T @ basis[:ncv]).astype(dtype)
             # renormalise (guards tiny CGS drift)
