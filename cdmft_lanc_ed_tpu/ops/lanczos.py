@@ -924,6 +924,27 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     return EighResult(theta, vecs, nmv, True)
 
 
+@functools.lru_cache(maxsize=None)
+def _cols_applier_real(apply_fn):
+    """One device call for a whole column block: vmap the batched matvec
+    over the column axis (cols [C, B, dim] -> [C, B, dim]).  The
+    per-column host round trip in the refine cost ~0.5 s each on the
+    remote-TPU tunnel."""
+    return jax.jit(jax.vmap(apply_fn, in_axes=(None, 0)))
+
+
+@functools.lru_cache(maxsize=None)
+def _cols_applier_pair(apply_fn):
+    return jax.jit(jax.vmap(apply_fn, in_axes=(None, 0, 0)))
+
+
+def _cols_chunk(ncols: int, b: int, dim: int, planes: int) -> int:
+    """Columns per device call, bounded so the vmapped block stays within
+    ~200 MB of f64 payload per plane."""
+    per_col = b * dim * 8 * planes
+    return max(1, min(ncols, int(2e8 / max(per_col, 1))))
+
+
 def _polish_bmax(ncv: int, dim: int, planes: int) -> int:
     """Max polish sub-batch under the HBM budget: the f64-emulated
     batched Lanczos while-loop costs ~10x its basis bytes in XLA temps on
@@ -947,6 +968,8 @@ def _run_polish_chunked(solver, matvec_batched64, okm, vecs, nbatch: int,
         return solver(matvec_batched64, nbatch, dim, neigen=neigen,
                       ncv=ncv, maxiter=maxiter, tol=rtol, v0=v0_64,
                       seed=seed)
+    import os
+    dbg = os.environ.get("CDMFT_DEBUG_REFINE")
     bmax = _polish_bmax(ncv, dim, planes)
     for lo in range(0, nbatch, bmax):
         hi = min(nbatch, lo + bmax)
@@ -956,6 +979,11 @@ def _run_polish_chunked(solver, matvec_batched64, okm, vecs, nbatch: int,
         out[lo:hi] = solver(matvec_batched64, hi - lo, dim,
                             neigen=neigen, ncv=ncv, maxiter=maxiter,
                             tol=rtol, v0=v0_64[lo:hi], seed=seed, op=sub)
+        if dbg:
+            print(f"# polish[{lo}:{hi}] dim={dim} rtol={rtol:.1e} "
+                  f"conv={[r.converged for r in out[lo:hi]]} "
+                  f"nmv={[r.iterations for r in out[lo:hi]]}",
+                  flush=True)
     return out
 
 
@@ -1009,15 +1037,22 @@ def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
     rounds of ``neigen`` extra batched matvecs) — this is what keeps
     near-degenerate members off the full-f64 fallback.
     Returns (theta [B, ne], vecs [B, ne, dim], resid [B, ne])."""
-    apply_fn, opd, _ = _as_applier(matvec_batched64, op64)
+    apply_fn, opd, cached = _as_applier(matvec_batched64, op64)
     b, k, dim = vecs.shape
     q = np.stack([np.linalg.qr(np.real(vecs[i]).T)[0] for i in range(b)])
+    cols_fn = (_cols_applier_real(apply_fn) if cached
+               else jax.vmap(apply_fn, in_axes=(None, 0)))
 
     def hcols(cols):
         out = np.empty_like(cols)
-        for j in range(cols.shape[2]):
-            out[:, :, j] = np.asarray(apply_fn(opd, jnp.asarray(
-                np.ascontiguousarray(cols[:, :, j]))))
+        kc = cols.shape[2]
+        step = _cols_chunk(kc, b, dim, planes=1)
+        for j0 in range(0, kc, step):
+            j1 = min(kc, j0 + step)
+            blk = jnp.asarray(np.ascontiguousarray(
+                cols[:, :, j0:j1].transpose(2, 0, 1)))     # [C, B, dim]
+            out[:, :, j0:j1] = np.asarray(
+                cols_fn(opd, blk)).transpose(1, 2, 0)
         return out
 
     theta, new_vecs, resid = _refine_loop_host_batched(
@@ -1100,17 +1135,24 @@ def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
     matvec (xr, xi) [B, dim] -> (wr, wi).  ``rtol``/``max_expand`` as in
     :func:`rayleigh_refine_real_batched`.
     Returns (theta [B, ne], vecs [B, ne, dim] complex, resid [B, ne])."""
-    apply_fn, opd, _ = _as_applier(matvec_pair_batched64, op64)
+    apply_fn, opd, cached = _as_applier(matvec_pair_batched64, op64)
     b, k, dim = vecs.shape
     q = np.stack([np.linalg.qr(vecs[i].T)[0] for i in range(b)])
+    cols_fn = (_cols_applier_pair(apply_fn) if cached
+               else jax.vmap(apply_fn, in_axes=(None, 0, 0)))
 
     def hcols(cols):
         out = np.empty_like(cols)
-        for j in range(cols.shape[2]):
-            qj = np.ascontiguousarray(cols[:, :, j])
-            wr, wi = apply_fn(opd, jnp.asarray(qj.real),
-                              jnp.asarray(qj.imag))
-            out[:, :, j] = np.asarray(wr) + 1j * np.asarray(wi)
+        kc = cols.shape[2]
+        step = _cols_chunk(kc, b, dim, planes=2)
+        for j0 in range(0, kc, step):
+            j1 = min(kc, j0 + step)
+            blk = cols[:, :, j0:j1].transpose(2, 0, 1)     # [C, B, dim]
+            wr, wi = cols_fn(
+                opd, jnp.asarray(np.ascontiguousarray(blk.real)),
+                jnp.asarray(np.ascontiguousarray(blk.imag)))
+            out[:, :, j0:j1] = (np.asarray(wr)
+                                + 1j * np.asarray(wi)).transpose(1, 2, 0)
         return out
 
     theta, new_vecs, resid = _refine_loop_host_batched(
