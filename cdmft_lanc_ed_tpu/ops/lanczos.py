@@ -347,23 +347,30 @@ def _restart_split(br, bi, sr, si):
 
 class _StallGuard:
     """Stops a thick-restart sweep when the worst wanted relative
-    residual has not improved by >=1% for ``limit`` consecutive restarts:
-    the iteration has reached its precision floor (the Lanczos residual
-    estimate bottoms out near dtype-eps * ||H|| * O(sqrt(dim))) and every
+    residual has reached its precision floor: the Lanczos residual
+    estimate bottoms out near dtype-eps * ||H|| * O(sqrt(dim)) and every
     further restart is pure waste.  Callers with ARPACK tol=0 semantics
     (cfg tolerances below the floor) previously ground to maxiter —
-    hundreds of device round trips per sector on the TPU tunnel."""
+    hundreds of device round trips per sector on the TPU tunnel.
 
-    def __init__(self, limit: int = 3):
+    The guard only ARMS below ``arm`` (1e-3 relative): thick restart
+    legitimately plateaus for several sweeps early on while interior
+    clusters resolve, and aborting there hands garbage vectors to the
+    refine stage (observed: 0.29 relative residual shipped downstream).
+    Near the floor a >=1%-per-sweep improvement test over ``limit``
+    consecutive sweeps separates floor noise from slow convergence."""
+
+    def __init__(self, limit: int = 4, arm: float = 1e-3):
         self.best = np.inf
         self.n = 0
         self.limit = limit
+        self.arm = arm
 
     def stalled(self, cur: float) -> bool:
         if cur < 0.99 * self.best:
             self.best = cur
             self.n = 0
-        else:
+        elif self.best < self.arm:
             self.n += 1
         return self.n >= self.limit
 
@@ -569,6 +576,12 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
         conv = np.all(rel <= tol, axis=1)
         if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
                 or stall.stalled(float(rel.max())):
+            import os
+            if os.environ.get("CDMFT_DEBUG_REFINE"):
+                print(f"# lanczos[bR {np.dtype(np.dtype(dtype).name)}] "
+                      f"dim={dim} B={b} nmv={nmv} "
+                      f"worst_rel={rel.max():.2e} "
+                      f"conv={conv.tolist()}", flush=True)
             sj = jnp.asarray(np.ascontiguousarray(s[:, :, :neigen]))
             vecs = np.asarray(restart_basis(basis, sj))    # [B, ne, dim]
             nrm = np.linalg.norm(vecs, axis=2, keepdims=True)
@@ -718,6 +731,12 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
         conv = np.all(rel <= tol, axis=1)
         if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
                 or stall.stalled(float(rel.max())):
+            import os
+            if os.environ.get("CDMFT_DEBUG_REFINE"):
+                print(f"# lanczos[bS {np.dtype(np.dtype(dtype).name)}] "
+                      f"dim={dim} B={b} nmv={nmv} "
+                      f"worst_rel={rel.max():.2e} "
+                      f"conv={conv.tolist()}", flush=True)
             sj = s[:, :, :neigen]
             sr = jnp.asarray(np.ascontiguousarray(sj.real))
             si = jnp.asarray(np.ascontiguousarray(sj.imag))
