@@ -921,7 +921,7 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
                               maxiter=maxiter, tol=f32_tol, v0=v0,
                               seed=seed, dtype=jnp.float32, op=op32,
                               device_vectors=device_vectors)
-    rtol = np.sqrt(max(tol, 1e-15))
+    rtol = max(np.sqrt(max(tol, 1e-15)), _mixed_rtol_floor())
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_real_device(
             matvec_real64, res32.eigenvectors, neigen, op64=op64)
@@ -943,142 +943,228 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     return EighResult(theta, vecs, nmv, True)
 
 
-@functools.lru_cache(maxsize=None)
-def _cols_applier_real(apply_fn):
-    """One device call for a whole column block: vmap the batched matvec
-    over the column axis (cols [C, B, dim] -> [C, B, dim]).  The
-    per-column host round trip in the refine cost ~0.5 s each on the
-    remote-TPU tunnel."""
-    return jax.jit(jax.vmap(apply_fn, in_axes=(None, 0)))
+
+
+
+@jax.jit
+def _gram_rows_b(a, b_):
+    """[B, k, dim] x [B, l, dim] -> [B, k, l] on device (the host einsum
+    at dim 2.6e5 x B=6 costs seconds per refine round in numpy)."""
+    return jnp.einsum("bkd,bld->bkl", a, b_,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _rotate_rows_b(s_t, q):
+    """rows_out[b, e] = sum_k s_t[b, e, k] * q[b, k]  ([B, E, k]x[B, k, dim])."""
+    return jnp.einsum("bek,bkd->bed", s_t, q,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _refine_stats_b(q, w):
+    """One device call for the refine's small reductions: overlap matrix
+    G = <q_k, q_l> and Rayleigh block H = <q_k, H q_l> ([B, k, k] each)."""
+    g = _gram_rows_b(q, q)
+    hk = _gram_rows_b(q, w)
+    return 0.5 * (g + g.transpose(0, 2, 1)), \
+        0.5 * (hk + hk.transpose(0, 2, 1))
 
 
 @functools.lru_cache(maxsize=None)
-def _cols_applier_pair(apply_fn):
-    return jax.jit(jax.vmap(apply_fn, in_axes=(None, 0, 0)))
+def _refine_step_real_b(apply_fn):
+    """One device call for a whole refine round (real plane): rotate to
+    the Ritz basis, residual norms, CGS2-orthogonalised normalised
+    residual block of the ``ne`` wanted pairs, basis append, and the
+    matvec block on the new rows."""
+    rows_fn = jax.vmap(apply_fn, in_axes=(None, 1), out_axes=1)
+
+    @functools.partial(jax.jit, static_argnames=("ne",))
+    def step(op, q, w, s_t, theta, ne: int):
+        x = _rotate_rows_b(s_t, q)                 # [B, k, dim]
+        wx = _rotate_rows_b(s_t, w)
+        rfull = wx - theta[:, :, None] * x
+        resid = jnp.linalg.norm(rfull, axis=2)     # [B, k]
+        r = rfull[:, :ne]
+        for _ in range(2):                         # CGS2 vs current q
+            r = r - _rotate_rows_b(_gram_rows_b(r, q), q)
+        nrm = jnp.linalg.norm(r, axis=2, keepdims=True)
+        rhat = r / jnp.maximum(nrm, 1e-30)
+        qn = jnp.concatenate([q, rhat], axis=1)
+        wn = jnp.concatenate([w, rows_fn(op, rhat)], axis=1)
+        return resid, qn, wn
+
+    return step
 
 
-def _cols_chunk(ncols: int, b: int, dim: int, planes: int) -> int:
-    """Columns per device call, bounded so the vmapped block stays within
-    ~200 MB of f64 payload per plane."""
-    per_col = b * dim * 8 * planes
-    return max(1, min(ncols, int(2e8 / max(per_col, 1))))
+@functools.lru_cache(maxsize=None)
+def _rows_applier_real(apply_fn):
+    return jax.jit(jax.vmap(apply_fn, in_axes=(None, 1), out_axes=1))
 
 
-def _polish_bmax(ncv: int, dim: int, planes: int) -> int:
-    """Max polish sub-batch under the HBM budget: the f64-emulated
-    batched Lanczos while-loop costs ~10x its basis bytes in XLA temps on
-    this backend (observed 22 GB at B=9, dim 1M).  Budget overridable via
-    CDMFT_POLISH_BYTES (basis bytes, pre-blowup)."""
+@jax.jit
+def _gram_rows_pair_b(ar, ai, br, bi):
+    """Complex <a_k|b_l> on split planes -> (re, im) [B, k, l]."""
+    re = _gram_rows_b(ar, br) + _gram_rows_b(ai, bi)
+    im = _gram_rows_b(ar, bi) - _gram_rows_b(ai, br)
+    return re, im
+
+
+def _rotate_rows_pair(sr, si, vr, vi):
+    outr = _rotate_rows_b(sr, vr) - _rotate_rows_b(si, vi)
+    outi = _rotate_rows_b(sr, vi) + _rotate_rows_b(si, vr)
+    return outr, outi
+
+
+@jax.jit
+def _refine_stats_pair_b(qr, qi, wr, wi):
+    gr, gi = _gram_rows_pair_b(qr, qi, qr, qi)
+    hr, hi = _gram_rows_pair_b(qr, qi, wr, wi)
+    gr = 0.5 * (gr + gr.transpose(0, 2, 1))
+    gi = 0.5 * (gi - gi.transpose(0, 2, 1))
+    hr = 0.5 * (hr + hr.transpose(0, 2, 1))
+    hi = 0.5 * (hi - hi.transpose(0, 2, 1))
+    return gr, gi, hr, hi
+
+
+@functools.lru_cache(maxsize=None)
+def _refine_step_pair_b(apply_fn):
+    """Split-pair twin of :func:`_refine_step_real_b`."""
+    rows_fn = jax.vmap(apply_fn, in_axes=(None, 1, 1), out_axes=1)
+
+    @functools.partial(jax.jit, static_argnames=("ne",))
+    def step(op, qr, qi, wr, wi, sr, si, theta, ne: int):
+        xr, xi = _rotate_rows_pair(sr, si, qr, qi)
+        wxr, wxi = _rotate_rows_pair(sr, si, wr, wi)
+        rr_ = wxr - theta[:, :, None] * xr
+        ri_ = wxi - theta[:, :, None] * xi
+        resid = jnp.sqrt(jnp.sum(rr_ * rr_, axis=2)
+                         + jnp.sum(ri_ * ri_, axis=2))
+        br_, bi_ = rr_[:, :ne], ri_[:, :ne]
+        for _ in range(2):                         # CGS2 vs current q
+            cr, ci = _gram_rows_pair_b(qr, qi, br_, bi_)   # [B, k, ne]
+            ct_r = cr.transpose(0, 2, 1)
+            ct_i = ci.transpose(0, 2, 1)
+            dr, di = _rotate_rows_pair(ct_r, ct_i, qr, qi)
+            br_, bi_ = br_ - dr, bi_ - di
+        nrm = jnp.sqrt(jnp.sum(br_ * br_, axis=2)
+                       + jnp.sum(bi_ * bi_, axis=2))[:, :, None]
+        rhr = br_ / jnp.maximum(nrm, 1e-30)
+        rhi = bi_ / jnp.maximum(nrm, 1e-30)
+        w2r, w2i = rows_fn(op, rhr, rhi)
+        return (resid,
+                jnp.concatenate([qr, rhr], axis=1),
+                jnp.concatenate([qi, rhi], axis=1),
+                jnp.concatenate([wr, w2r], axis=1),
+                jnp.concatenate([wi, w2i], axis=1))
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _rows_applier_pair(apply_fn):
+    return jax.jit(jax.vmap(apply_fn, in_axes=(None, 1, 1), out_axes=1))
+
+
+@functools.lru_cache(maxsize=None)
+def _extract_rows_pair():
+    @jax.jit
+    def extract(qr, qi, sr, si):
+        xr, xi = _rotate_rows_pair(sr, si, qr, qi)
+        nrm = jnp.sqrt(jnp.sum(xr * xr, axis=2)
+                       + jnp.sum(xi * xi, axis=2))[:, :, None]
+        return xr / jnp.maximum(nrm, 1e-300), \
+            xi / jnp.maximum(nrm, 1e-300)
+    return extract
+
+
+@functools.lru_cache(maxsize=None)
+def _extract_rows_real():
+    @jax.jit
+    def extract(q, s_t_ne):
+        x = _rotate_rows_b(s_t_ne, q)
+        nrm = jnp.linalg.norm(x, axis=2, keepdims=True)
+        return x / jnp.maximum(nrm, 1e-300)
+    return extract
+
+
+def _canonical_rr(g_np, hk_np):
+    """Canonical-orthogonalisation Rayleigh-Ritz per member (host, k<=96):
+    whiten with G's eigenbasis (dropping directions with G-eigenvalue
+    < 1e-10 of max — duplicate residual rows), then eigh the whitened
+    Rayleigh block.  No orthonormality assumption on the basis rows.
+    Returns row-major transposed eigvecs s_t [B, k, k] (padded rows zero,
+    padded theta +1e30 so they sort after every physical pair)."""
+    b, k, _ = g_np.shape
+    s_t = np.zeros((b, k, k))
+    theta = np.full((b, k), 1e30)
+    cplx = np.iscomplexobj(hk_np)
+    if cplx:
+        s_t = s_t.astype(np.complex128)
+    for i in range(b):
+        lam, u = np.linalg.eigh(g_np[i])
+        keep = lam > 1e-10 * max(lam.max(), 1e-300)
+        t = u[:, keep] / np.sqrt(lam[keep])
+        hc = t.conj().T @ hk_np[i] @ t
+        th, sc = np.linalg.eigh(hc)
+        si = t @ sc                                  # [k, k']
+        kk = si.shape[1]
+        s_t[i, :kk] = si.T
+        theta[i, :kk] = th.real
+    return s_t, theta
+
+
+def _mixed_rtol_floor() -> float:
+    """Acceptance floor for the mixed path's refined eigenVECTOR residual
+    (relative).  1e-6 gives eigenvalue error ~ resid^2/gap ~ 1e-12/gap —
+    f64-physics level (parity with the full-f64 path is pinned by
+    tests/test_mixed_baseline_configs.py) — while staying reachable for
+    the expansion refine in a couple of rounds.  Override via
+    CDMFT_MIXED_RTOL for stricter vectors."""
     import os
-    budget = float(os.environ.get("CDMFT_POLISH_BYTES", 2e8))
-    return max(1, int(budget / ((ncv + 1) * dim * 8 * planes)))
+    return float(os.environ.get("CDMFT_MIXED_RTOL", 1e-6))
 
-
-def _run_polish_chunked(solver, matvec_batched64, okm, vecs, nbatch: int,
-                        dim: int, neigen: int, ncv: int, maxiter: int,
-                        rtol: float, seed: int, op64, planes: int):
-    """Batched warm-started f64 polish in budget-sized member chunks.
-    With a stacked-op pytree the chunks slice its leading batch axis; a
-    bare closure matvec cannot be subset, so it polishes in one call.
-    Returns a list [nbatch] of EighResult-or-None (None = not polished)."""
-    out = [None] * nbatch
-    v0_64 = np.ascontiguousarray(vecs[:, 0])
-    if op64 is None:
-        return solver(matvec_batched64, nbatch, dim, neigen=neigen,
-                      ncv=ncv, maxiter=maxiter, tol=rtol, v0=v0_64,
-                      seed=seed)
-    import os
-    dbg = os.environ.get("CDMFT_DEBUG_REFINE")
-    bmax = _polish_bmax(ncv, dim, planes)
-    for lo in range(0, nbatch, bmax):
-        hi = min(nbatch, lo + bmax)
-        if okm[lo:hi].all():
-            continue
-        sub = jax.tree_util.tree_map(lambda a: a[lo:hi], op64)
-        out[lo:hi] = solver(matvec_batched64, hi - lo, dim,
-                            neigen=neigen, ncv=ncv, maxiter=maxiter,
-                            tol=rtol, v0=v0_64[lo:hi], seed=seed, op=sub)
-        if dbg:
-            print(f"# polish[{lo}:{hi}] dim={dim} rtol={rtol:.1e} "
-                  f"conv={[r.converged for r in out[lo:hi]]} "
-                  f"nmv={[r.iterations for r in out[lo:hi]]}",
-                  flush=True)
-    return out
-
-
-def _refine_loop_host_batched(hcols, q, neigen: int, rtol,
-                              max_expand: int, dim: int, complex_: bool):
-    """Batched twin of :func:`_refine_loop_host`: ``q`` [B, dim, k0];
-    all members expand in lockstep (the batched matvec runs anyway) until
-    EVERY member's wanted residuals meet the target."""
-    import os
-    dbg = os.environ.get("CDMFT_DEBUG_REFINE")
-    w = hcols(q)
-    theta = new_vecs = wmix = resid = None
-    b = q.shape[0]
-    for it in range(max_expand + 1):
-        hk = np.einsum("bdk,bdl->bkl", q.conj(), w)
-        hk = 0.5 * (hk + hk.conj().transpose(0, 2, 1))
-        theta, s = np.linalg.eigh(hk)                  # [B, k], [B, k, k]
-        theta = theta.real
-        new_vecs = np.einsum("bdk,bkl->bdl", q, s)     # [B, dim, k]
-        wmix = np.einsum("bdk,bkl->bdl", w, s)
-        resid = np.linalg.norm(
-            wmix - new_vecs * theta[:, None, :], axis=1)   # [B, k]
-        done = (rtol is None or np.all(
-            resid[:, :neigen]
-            <= rtol * np.maximum(np.abs(theta[:, :neigen]), 1.0)))
-        if dbg:
-            print(f"# refine[b] it={it} k={q.shape[2]} rtol={rtol} "
-                  f"worst_resid={resid[:, :neigen].max():.3e} "
-                  f"theta0={theta[:, 0]}", flush=True)
-        if done or it == max_expand \
-                or q.shape[2] + neigen > min(dim, 96):
-            break
-        r = wmix[:, :, :neigen] \
-            - new_vecs[:, :, :neigen] * theta[:, None, :neigen]
-        qn = np.empty_like(r)
-        for i in range(b):
-            qn[i] = _orth_expand_block(
-                q[i], r[i], np.random.default_rng(8527 + 31 * i + it))
-        q = np.concatenate([q, qn], axis=2)
-        w = np.concatenate([w, hcols(qn)], axis=2)
-    return theta, new_vecs, resid
 
 
 def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
                                  neigen: int, op64=None, rtol=None,
-                                 max_expand: int = 2):
-    """Batched real Rayleigh-Ritz refine: vecs [B, k, dim] approximate
-    (f32) eigenbases, one batched f64 matvec [B, dim] -> [B, dim].
-    With ``rtol`` set, residual-block subspace expansion runs until every
-    member's wanted residuals meet ``rtol*max(|theta|,1)`` (<= ``max_expand``
-    rounds of ``neigen`` extra batched matvecs) — this is what keeps
-    near-degenerate members off the full-f64 fallback.
+                                 max_expand: int = 6):
+    """Batched real Rayleigh-Ritz refine, DEVICE-resident: vecs
+    [B, k, dim] approximate (f32) eigenbases refined by residual-block
+    subspace expansion until every member's wanted residuals meet
+    ``rtol*max(|theta|,1)`` (or ``max_expand`` rounds / the HBM cap).
+    Two device calls per round (small-reduction stats + fused
+    rotate/residual/CGS2/append/matvec step); only k x k blocks and
+    residual norms touch the host — the previous host-numpy loop spent
+    seconds per round in einsums at production bucket sizes.
     Returns (theta [B, ne], vecs [B, ne, dim], resid [B, ne])."""
     apply_fn, opd, cached = _as_applier(matvec_batched64, op64)
-    b, k, dim = vecs.shape
-    q = np.stack([np.linalg.qr(np.real(vecs[i]).T)[0] for i in range(b)])
-    cols_fn = (_cols_applier_real(apply_fn) if cached
-               else jax.vmap(apply_fn, in_axes=(None, 0)))
-
-    def hcols(cols):
-        out = np.empty_like(cols)
-        kc = cols.shape[2]
-        step = _cols_chunk(kc, b, dim, planes=1)
-        for j0 in range(0, kc, step):
-            j1 = min(kc, j0 + step)
-            blk = jnp.asarray(np.ascontiguousarray(
-                cols[:, :, j0:j1].transpose(2, 0, 1)))     # [C, B, dim]
-            out[:, :, j0:j1] = np.asarray(
-                cols_fn(opd, blk)).transpose(1, 2, 0)
-        return out
-
-    theta, new_vecs, resid = _refine_loop_host_batched(
-        hcols, q, neigen, rtol, max_expand, dim, complex_=False)
-    return (theta[:, :neigen],
-            new_vecs.transpose(0, 2, 1)[:, :neigen],
-            resid[:, :neigen])
+    step = (_refine_step_real_b(apply_fn) if cached
+            else _refine_step_real_b.__wrapped__(apply_fn))
+    rows_fn = (_rows_applier_real(apply_fn) if cached
+               else jax.vmap(apply_fn, in_axes=(None, 1), out_axes=1))
+    b, k0, dim = vecs.shape
+    ne = neigen
+    # HBM cap: q + w are [B, k, dim] f64 each
+    k_cap = max(k0, min(96, dim, int(2.5e8 / max(b * dim, 1))))
+    q = jnp.asarray(np.ascontiguousarray(np.real(vecs)), jnp.float64)
+    w = rows_fn(opd, q)
+    theta = resid_np = s_t = None
+    for it in range(max_expand + 1):
+        g_np, hk_np = map(np.asarray, _refine_stats_b(q, w))
+        s_t, theta = _canonical_rr(g_np, hk_np)
+        resid_d, qn, wn = step(opd, q, w, jnp.asarray(s_t),
+                               jnp.asarray(theta), ne=ne)
+        resid_np = np.asarray(resid_d)
+        done = (rtol is None or np.all(
+            resid_np[:, :ne]
+            <= rtol * np.maximum(np.abs(theta[:, :ne]), 1.0)))
+        if done or it == max_expand or q.shape[1] + ne > k_cap:
+            break
+        q, w = qn, wn
+    x = _extract_rows_real()(q, jnp.asarray(
+        np.ascontiguousarray(s_t[:, :ne])))
+    return (theta[:, :ne], np.asarray(x), resid_np[:, :ne])
 
 
 def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
@@ -1111,34 +1197,16 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
     if callable(op64):
         op64 = op64()
     vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
-    rtol = np.sqrt(max(tol, 1e-15))
+    rtol = max(np.sqrt(max(tol, 1e-15)), _mixed_rtol_floor())
     theta, vecs, resid = rayleigh_refine_real_batched(
         matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
     okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
-    res64 = [None] * nbatch
-    if not okm.all():
-        # batched warm-started f64 polish: Krylov convergence (the
-        # subspace-expansion refine is gap-limited) in budget-sized
-        # batched streams — the serial per-member f64 fallback pays one
-        # host sync per restart per member on the TPU tunnel.  Polish to
-        # the mixed-path acceptance target rtol, NOT the raw tol:
-        # cfg-level tol (1e-18) floors to f64 eps inside the solver — an
-        # unreachable Lanczos residual that grinds to maxiter.
-        res64 = _run_polish_chunked(
-            lanczos_eigh_real_batched, matvec_batched64, okm, vecs,
-            nbatch, dim, neigen, ncv, maxiter, rtol, seed, op64, planes=1)
     out = []
     for i in range(nbatch):
         nmv = res32[i].iterations + vecs32.shape[1]
-        if okm[i]:
+        if okm[i] or fallback64 is None:
             out.append(EighResult(theta[i].copy(), vecs[i].copy(), nmv,
-                                  True))
-        elif res64[i] is not None and (res64[i].converged
-                                       or fallback64 is None):
-            out.append(EighResult(res64[i].eigenvalues,
-                                  res64[i].eigenvectors,
-                                  nmv + res64[i].iterations,
-                                  res64[i].converged))
+                                  bool(okm[i])))
         else:
             r64 = fallback64(i, vecs[i, 0])
             out.append(EighResult(r64.eigenvalues, r64.eigenvectors,
@@ -1155,30 +1223,38 @@ def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
     :func:`rayleigh_refine_real_batched`.
     Returns (theta [B, ne], vecs [B, ne, dim] complex, resid [B, ne])."""
     apply_fn, opd, cached = _as_applier(matvec_pair_batched64, op64)
-    b, k, dim = vecs.shape
-    q = np.stack([np.linalg.qr(vecs[i].T)[0] for i in range(b)])
-    cols_fn = (_cols_applier_pair(apply_fn) if cached
-               else jax.vmap(apply_fn, in_axes=(None, 0, 0)))
-
-    def hcols(cols):
-        out = np.empty_like(cols)
-        kc = cols.shape[2]
-        step = _cols_chunk(kc, b, dim, planes=2)
-        for j0 in range(0, kc, step):
-            j1 = min(kc, j0 + step)
-            blk = cols[:, :, j0:j1].transpose(2, 0, 1)     # [C, B, dim]
-            wr, wi = cols_fn(
-                opd, jnp.asarray(np.ascontiguousarray(blk.real)),
-                jnp.asarray(np.ascontiguousarray(blk.imag)))
-            out[:, :, j0:j1] = (np.asarray(wr)
-                                + 1j * np.asarray(wi)).transpose(1, 2, 0)
-        return out
-
-    theta, new_vecs, resid = _refine_loop_host_batched(
-        hcols, q, neigen, rtol, max_expand, dim, complex_=True)
-    return (theta[:, :neigen].real,
-            new_vecs.transpose(0, 2, 1)[:, :neigen],
-            resid[:, :neigen])
+    step = (_refine_step_pair_b(apply_fn) if cached
+            else _refine_step_pair_b.__wrapped__(apply_fn))
+    rows_fn = (_rows_applier_pair(apply_fn) if cached
+               else jax.vmap(apply_fn, in_axes=(None, 1, 1), out_axes=1))
+    b, k0, dim = vecs.shape
+    ne = neigen
+    k_cap = max(k0, min(96, dim, int(1.25e8 / max(b * dim, 1))))
+    qr = jnp.asarray(np.ascontiguousarray(vecs.real), jnp.float64)
+    qi = jnp.asarray(np.ascontiguousarray(vecs.imag), jnp.float64)
+    wr, wi = rows_fn(opd, qr, qi)
+    theta = resid_np = s_t = None
+    for it in range(max_expand + 1):
+        gr, gi, hr, hi = map(np.asarray,
+                             _refine_stats_pair_b(qr, qi, wr, wi))
+        s_t, theta = _canonical_rr(gr + 1j * gi, hr + 1j * hi)
+        sr = jnp.asarray(np.ascontiguousarray(s_t.real))
+        si = jnp.asarray(np.ascontiguousarray(s_t.imag))
+        out = step(opd, qr, qi, wr, wi, sr, si, jnp.asarray(theta),
+                   ne=ne)
+        resid_np = np.asarray(out[0])
+        done = (rtol is None or np.all(
+            resid_np[:, :ne]
+            <= rtol * np.maximum(np.abs(theta[:, :ne]), 1.0)))
+        if done or it == max_expand or qr.shape[1] + ne > k_cap:
+            break
+        _, qr, qi, wr, wi = out
+    xr, xi = _extract_rows_pair()(
+        qr, qi, jnp.asarray(np.ascontiguousarray(s_t[:, :ne].real)),
+        jnp.asarray(np.ascontiguousarray(s_t[:, :ne].imag)))
+    return (theta[:, :ne],
+            np.asarray(xr) + 1j * np.asarray(xi),
+            resid_np[:, :ne])
 
 
 def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
@@ -1200,28 +1276,16 @@ def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
     if callable(op64):
         op64 = op64()
     vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
-    rtol = np.sqrt(max(tol, 1e-15))
+    rtol = max(np.sqrt(max(tol, 1e-15)), _mixed_rtol_floor())
     theta, vecs, resid = rayleigh_refine_split_batched(
         matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
     okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
-    res64 = [None] * nbatch
-    if not okm.all():
-        # budget-chunked batched warm-started f64 polish (see real twin)
-        res64 = _run_polish_chunked(
-            lanczos_eigh_split_batched, matvec_batched64, okm, vecs,
-            nbatch, dim, neigen, ncv, maxiter, rtol, seed, op64, planes=2)
     out = []
     for i in range(nbatch):
         nmv = res32[i].iterations + vecs32.shape[1]
-        if okm[i]:
+        if okm[i] or fallback64 is None:
             out.append(EighResult(theta[i].copy(), vecs[i].copy(), nmv,
-                                  True))
-        elif res64[i] is not None and (res64[i].converged
-                                       or fallback64 is None):
-            out.append(EighResult(res64[i].eigenvalues,
-                                  res64[i].eigenvectors,
-                                  nmv + res64[i].iterations,
-                                  res64[i].converged))
+                                  bool(okm[i])))
         else:
             r64 = fallback64(i, vecs[i, 0])
             out.append(EighResult(r64.eigenvalues, r64.eigenvectors,
@@ -1594,7 +1658,7 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
                                maxiter=maxiter, tol=f32_tol, v0=v0,
                                seed=seed, dtype=jnp.float32, op=op32,
                                device_vectors=device_vectors)
-    rtol = np.sqrt(max(tol, 1e-15))
+    rtol = max(np.sqrt(max(tol, 1e-15)), _mixed_rtol_floor())
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_split_device(
             matvec_pair64, res32.eigenvectors, neigen, op64=op64)
