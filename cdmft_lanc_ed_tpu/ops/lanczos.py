@@ -964,35 +964,39 @@ def _rotate_rows_b(s_t, q):
 @jax.jit
 def _refine_stats_b(q, w):
     """One device call for the refine's small reductions: overlap matrix
-    G = <q_k, q_l> and Rayleigh block H = <q_k, H q_l> ([B, k, k] each)."""
+    G = <q_k, q_l>, Rayleigh block H = <q_k, H q_l>, and the matvec Gram
+    M = <H q_k, H q_l> ([B, k, k] each).  M lets the host evaluate Ritz
+    residual norms from k x k data alone — resid_e^2 = s^T M s - 2 theta
+    s^T H s + theta^2 s^T G s — so no [B, k, dim] rotation is ever
+    materialised (the full-k rotation OOMed at the top sector bucket)."""
     g = _gram_rows_b(q, q)
     hk = _gram_rows_b(q, w)
-    return 0.5 * (g + g.transpose(0, 2, 1)), \
-        0.5 * (hk + hk.transpose(0, 2, 1))
+    m = _gram_rows_b(w, w)
+    return (0.5 * (g + g.transpose(0, 2, 1)),
+            0.5 * (hk + hk.transpose(0, 2, 1)),
+            0.5 * (m + m.transpose(0, 2, 1)))
 
 
 @functools.lru_cache(maxsize=None)
 def _refine_step_real_b(apply_fn):
-    """One device call for a whole refine round (real plane): rotate to
-    the Ritz basis, residual norms, CGS2-orthogonalised normalised
-    residual block of the ``ne`` wanted pairs, basis append, and the
-    matvec block on the new rows."""
+    """One device call for a refine expansion round (real plane): rotate
+    ONLY the ``ne`` wanted Ritz rows, CGS2-orthogonalise the residual
+    block, append it, and run the matvec block on the new rows.  ``q``
+    and ``w`` are DONATED — the appended bases reuse their buffers."""
     rows_fn = jax.vmap(apply_fn, in_axes=(None, 1), out_axes=1)
 
-    @functools.partial(jax.jit, static_argnames=("ne",))
-    def step(op, q, w, s_t, theta, ne: int):
-        x = _rotate_rows_b(s_t, q)                 # [B, k, dim]
-        wx = _rotate_rows_b(s_t, w)
-        rfull = wx - theta[:, :, None] * x
-        resid = jnp.linalg.norm(rfull, axis=2)     # [B, k]
-        r = rfull[:, :ne]
+    @jax.jit
+    def step(op, q, w, s_t_ne, theta_ne):
+        x = _rotate_rows_b(s_t_ne, q)              # [B, ne, dim]
+        wx = _rotate_rows_b(s_t_ne, w)
+        r = wx - theta_ne[:, :, None] * x
         for _ in range(2):                         # CGS2 vs current q
             r = r - _rotate_rows_b(_gram_rows_b(r, q), q)
         nrm = jnp.linalg.norm(r, axis=2, keepdims=True)
         rhat = r / jnp.maximum(nrm, 1e-30)
         qn = jnp.concatenate([q, rhat], axis=1)
         wn = jnp.concatenate([w, rows_fn(op, rhat)], axis=1)
-        return resid, qn, wn
+        return qn, wn
 
     return step
 
@@ -1020,27 +1024,28 @@ def _rotate_rows_pair(sr, si, vr, vi):
 def _refine_stats_pair_b(qr, qi, wr, wi):
     gr, gi = _gram_rows_pair_b(qr, qi, qr, qi)
     hr, hi = _gram_rows_pair_b(qr, qi, wr, wi)
+    mr, mi = _gram_rows_pair_b(wr, wi, wr, wi)
     gr = 0.5 * (gr + gr.transpose(0, 2, 1))
     gi = 0.5 * (gi - gi.transpose(0, 2, 1))
     hr = 0.5 * (hr + hr.transpose(0, 2, 1))
     hi = 0.5 * (hi - hi.transpose(0, 2, 1))
-    return gr, gi, hr, hi
+    mr = 0.5 * (mr + mr.transpose(0, 2, 1))
+    mi = 0.5 * (mi - mi.transpose(0, 2, 1))
+    return gr, gi, hr, hi, mr, mi
 
 
 @functools.lru_cache(maxsize=None)
 def _refine_step_pair_b(apply_fn):
-    """Split-pair twin of :func:`_refine_step_real_b`."""
+    """Split-pair twin of :func:`_refine_step_real_b` (wanted-rows-only
+    rotations)."""
     rows_fn = jax.vmap(apply_fn, in_axes=(None, 1, 1), out_axes=1)
 
-    @functools.partial(jax.jit, static_argnames=("ne",))
-    def step(op, qr, qi, wr, wi, sr, si, theta, ne: int):
-        xr, xi = _rotate_rows_pair(sr, si, qr, qi)
+    @jax.jit
+    def step(op, qr, qi, wr, wi, sr, si, theta):
+        xr, xi = _rotate_rows_pair(sr, si, qr, qi)     # [B, ne, dim]
         wxr, wxi = _rotate_rows_pair(sr, si, wr, wi)
-        rr_ = wxr - theta[:, :, None] * xr
-        ri_ = wxi - theta[:, :, None] * xi
-        resid = jnp.sqrt(jnp.sum(rr_ * rr_, axis=2)
-                         + jnp.sum(ri_ * ri_, axis=2))
-        br_, bi_ = rr_[:, :ne], ri_[:, :ne]
+        br_ = wxr - theta[:, :, None] * xr
+        bi_ = wxi - theta[:, :, None] * xi
         for _ in range(2):                         # CGS2 vs current q
             cr, ci = _gram_rows_pair_b(qr, qi, br_, bi_)   # [B, k, ne]
             ct_r = cr.transpose(0, 2, 1)
@@ -1052,13 +1057,25 @@ def _refine_step_pair_b(apply_fn):
         rhr = br_ / jnp.maximum(nrm, 1e-30)
         rhi = bi_ / jnp.maximum(nrm, 1e-30)
         w2r, w2i = rows_fn(op, rhr, rhi)
-        return (resid,
-                jnp.concatenate([qr, rhr], axis=1),
+        return (jnp.concatenate([qr, rhr], axis=1),
                 jnp.concatenate([qi, rhi], axis=1),
                 jnp.concatenate([wr, w2r], axis=1),
                 jnp.concatenate([wi, w2i], axis=1))
 
     return step
+
+
+def _rr_resid_host(g, hk, m, s_t, theta):
+    """Ritz residual norms from k x k Gram data (host): resid_e^2 =
+    s^H M s - 2 theta s^H H s + theta^2 s^H G s.  Cancellation floors the
+    estimate near sqrt(eps_f64)*|theta| ~ 3e-8 relative — far below the
+    mixed-path acceptance floor (1e-6).  Padded rows (zero s_t) give 0."""
+    def quad(a):
+        return np.einsum("bek,bkl,bel->be", s_t.conj(), a, s_t).real
+
+    th = np.where(theta >= 1e30, 0.0, theta)       # padded rows
+    r2 = quad(m) - 2.0 * th * quad(hk) + th * th * quad(g)
+    return np.sqrt(np.maximum(r2, 0.0))
 
 
 @functools.lru_cache(maxsize=None)
@@ -1146,22 +1163,22 @@ def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
     b, k0, dim = vecs.shape
     ne = neigen
     # HBM cap: q + w are [B, k, dim] f64 each
-    k_cap = max(k0, min(96, dim, int(2.5e8 / max(b * dim, 1))))
+    k_cap = max(k0, min(96, dim, int(1.2e8 / max(b * dim, 1))))
     q = jnp.asarray(np.ascontiguousarray(np.real(vecs)), jnp.float64)
     w = rows_fn(opd, q)
     theta = resid_np = s_t = None
     for it in range(max_expand + 1):
-        g_np, hk_np = map(np.asarray, _refine_stats_b(q, w))
+        g_np, hk_np, m_np = map(np.asarray, _refine_stats_b(q, w))
         s_t, theta = _canonical_rr(g_np, hk_np)
-        resid_d, qn, wn = step(opd, q, w, jnp.asarray(s_t),
-                               jnp.asarray(theta), ne=ne)
-        resid_np = np.asarray(resid_d)
+        resid_np = _rr_resid_host(g_np, hk_np, m_np, s_t, theta)
         done = (rtol is None or np.all(
             resid_np[:, :ne]
             <= rtol * np.maximum(np.abs(theta[:, :ne]), 1.0)))
         if done or it == max_expand or q.shape[1] + ne > k_cap:
             break
-        q, w = qn, wn
+        q, w = step(opd, q, w,
+                    jnp.asarray(np.ascontiguousarray(s_t[:, :ne])),
+                    jnp.asarray(np.ascontiguousarray(theta[:, :ne])))
     x = _extract_rows_real()(q, jnp.asarray(
         np.ascontiguousarray(s_t[:, :ne])))
     return (theta[:, :ne], np.asarray(x), resid_np[:, :ne])
@@ -1229,26 +1246,27 @@ def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
                else jax.vmap(apply_fn, in_axes=(None, 1, 1), out_axes=1))
     b, k0, dim = vecs.shape
     ne = neigen
-    k_cap = max(k0, min(96, dim, int(1.25e8 / max(b * dim, 1))))
+    k_cap = max(k0, min(96, dim, int(6e7 / max(b * dim, 1))))
     qr = jnp.asarray(np.ascontiguousarray(vecs.real), jnp.float64)
     qi = jnp.asarray(np.ascontiguousarray(vecs.imag), jnp.float64)
     wr, wi = rows_fn(opd, qr, qi)
     theta = resid_np = s_t = None
     for it in range(max_expand + 1):
-        gr, gi, hr, hi = map(np.asarray,
-                             _refine_stats_pair_b(qr, qi, wr, wi))
+        gr, gi, hr, hi, mr, mi = map(
+            np.asarray, _refine_stats_pair_b(qr, qi, wr, wi))
         s_t, theta = _canonical_rr(gr + 1j * gi, hr + 1j * hi)
-        sr = jnp.asarray(np.ascontiguousarray(s_t.real))
-        si = jnp.asarray(np.ascontiguousarray(s_t.imag))
-        out = step(opd, qr, qi, wr, wi, sr, si, jnp.asarray(theta),
-                   ne=ne)
-        resid_np = np.asarray(out[0])
+        resid_np = _rr_resid_host(gr + 1j * gi, hr + 1j * hi,
+                                  mr + 1j * mi, s_t, theta)
         done = (rtol is None or np.all(
             resid_np[:, :ne]
             <= rtol * np.maximum(np.abs(theta[:, :ne]), 1.0)))
         if done or it == max_expand or qr.shape[1] + ne > k_cap:
             break
-        _, qr, qi, wr, wi = out
+        qr, qi, wr, wi = step(
+            opd, qr, qi, wr, wi,
+            jnp.asarray(np.ascontiguousarray(s_t[:, :ne].real)),
+            jnp.asarray(np.ascontiguousarray(s_t[:, :ne].imag)),
+            jnp.asarray(np.ascontiguousarray(theta[:, :ne])))
     xr, xi = _extract_rows_pair()(
         qr, qi, jnp.asarray(np.ascontiguousarray(s_t[:, :ne].real)),
         jnp.asarray(np.ascontiguousarray(s_t[:, :ne].imag)))
