@@ -111,6 +111,10 @@ class EDConfig:
     ed_file_suffix: str = ""     # suffix attached to restart/output files
     ed_precision: str = "complex128"   # device dtype for eigensolves
     ed_gf_precision: str = "double"    # GF tridiag dtype: double|single
+    # mixed path: relative residual at which refined eigenVECTORS are
+    # accepted (they feed Sigma; eigenvalue error ~ resid^2/gap).  0.0
+    # means auto (1e-10, or the CDMFT_MIXED_RTOL env override).
+    ed_mixed_vec_tol: float = 0.0
     work_dir: str = "."          # directory for restart/output text files
 
     # ------------------------------------------------------------------

