@@ -97,6 +97,14 @@ def main():
                    "ms_per_matvec": round(dt, 3),
                    "efficiency_vs_1": round(eff, 4),
                    "platform": platform, "oracle_exact": True}
+            if ov > 1 and cpu_virtual:
+                # the kernel auto-disables chunked overlap on a
+                # host-virtual mesh (measurably harmful there; ICI-only
+                # lever) — this row therefore times the same single-shot
+                # transpose as overlap=0
+                row["overlap_effective"] = 0
+                row["overlap_note"] = ("auto-disabled on cpu-virtual "
+                                       "mesh; opt-in lever for real ICI")
             if note:
                 row["note"] = note
             print(json.dumps(row), flush=True)

@@ -131,6 +131,67 @@ def ed_read_impg(solver: EDSolver, nineq: int = 0):
     return ed_io.read_impg(solver.cfg)
 
 
+def _bath_fn_grids(solver: EDSolver, axis: str) -> np.ndarray:
+    from .gf import matsubara_grid, realaxis_grid
+    cfg = solver.cfg
+    if axis == "matsubara":
+        return 1j * matsubara_grid(cfg)
+    return realaxis_grid(cfg) + 1j * cfg.eps
+
+
+def _bath_state(solver: EDSolver, bath=None):
+    b = (solver.bath if bath is None
+         else _bath.unpack_dmft_bath(solver.cfg, np.asarray(bath)))
+    if solver.hb is None or b is None:
+        raise RuntimeError("solver has no bath set (call set_hbath + "
+                           "init_solver/solve first)")
+    return b
+
+
+def ed_get_delta_matsubara(solver: EDSolver, bath=None) -> np.ndarray:
+    """ed_get_delta_matsubara (ED_IO.f90:250-257): hybridization
+    Delta(iw) [Nlat,Nlat,Nspin,Nspin,Norb,Norb,Lmats] from the current
+    (or supplied packed) bath."""
+    return _bath.delta_bath(solver.cfg, solver.hb,
+                            _bath_state(solver, bath),
+                            _bath_fn_grids(solver, "matsubara"))
+
+
+def ed_get_delta_realaxis(solver: EDSolver, bath=None) -> np.ndarray:
+    return _bath.delta_bath(solver.cfg, solver.hb,
+                            _bath_state(solver, bath),
+                            _bath_fn_grids(solver, "realaxis"))
+
+
+def ed_get_g0and_matsubara(solver: EDSolver, bath=None) -> np.ndarray:
+    """ed_get_g0and_matsubara: non-interacting impurity G0and(iw) from
+    the bath + the last-solved impurity Hloc (ED_BATH_FUNCTIONS.f90:
+    102-121)."""
+    return _bath.g0and_bath(solver.cfg, solver.hb,
+                            _bath_state(solver, bath), solver.imp_hloc,
+                            _bath_fn_grids(solver, "matsubara"))
+
+
+def ed_get_g0and_realaxis(solver: EDSolver, bath=None) -> np.ndarray:
+    return _bath.g0and_bath(solver.cfg, solver.hb,
+                            _bath_state(solver, bath), solver.imp_hloc,
+                            _bath_fn_grids(solver, "realaxis"))
+
+
+def ed_get_invg0and_matsubara(solver: EDSolver, bath=None) -> np.ndarray:
+    """ed_get_invG0and_matsubara: G0and^{-1}(iw)
+    (ED_BATH_FUNCTIONS.f90:125-155)."""
+    return _bath.invg0_bath(solver.cfg, solver.hb,
+                            _bath_state(solver, bath), solver.imp_hloc,
+                            _bath_fn_grids(solver, "matsubara"))
+
+
+def ed_get_invg0and_realaxis(solver: EDSolver, bath=None) -> np.ndarray:
+    return _bath.invg0_bath(solver.cfg, solver.hb,
+                            _bath_state(solver, bath), solver.imp_hloc,
+                            _bath_fn_grids(solver, "realaxis"))
+
+
 def ed_spin_symmetrize_bath(solver: EDSolver, bath) -> np.ndarray:
     """Replica/general baths are spin-symmetric by construction when the
     basis matrices are (the reference's routine acts on normal baths);

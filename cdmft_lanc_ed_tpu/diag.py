@@ -220,12 +220,30 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
             op_bytes = (dim_p + (op_fields // 2) * (ddp * ddp + dup * dup)
                         + _t * (ddp * ddp + dup * dup)) * 8
             member_bytes = (ncv_g + 1) * dim_p * 8 * planes + op_bytes
-            bmax = max(2, int(2e9 / member_bytes))
+            from .utils.membudget import budget_bytes
+            bmax = max(2, int(budget_bytes(
+                0.25, log=(verbose if cfg.ed_verbose >= 3 else None),
+                what="diag-batch") / member_bytes))
             for lo in range(0, len(members), bmax):
                 chunk = members[lo:lo + bmax]
                 if len(chunk) < 2:
                     break
                 t0 = time.time()
+                # sector-parallel dispatch across chips: pad the batch to
+                # a multiple of the mesh's 'sector' axis (duplicates are
+                # solved and discarded) and shard op stacks + Krylov
+                # bases on the batch axis — B same-bucket sectors then
+                # run data-parallel across device columns instead of all
+                # on one chip (SURVEY 2.3 item 7; the round-3 VERDICT
+                # flagged the axis as demo-only)
+                nsec = multichip.sector_axis_size(mesh)
+                smesh = mesh if nsec > 1 else None
+                batch = list(chunk)
+                if nsec > 1 and len(batch) % nsec:
+                    padn = nsec - len(batch) % nsec
+                    batch += [batch[j % len(batch)] for j in range(padn)]
+                shard = (lambda st: multichip.shard_batched_stack(st, mesh)
+                         ) if smesh is not None else (lambda st: st)
                 neigen_g = max(m[3] for m in chunk)
                 maxiter_g = max(m[5] for m in chunk) * ncv_g
                 rng = np.random.default_rng(8527)
@@ -237,13 +255,13 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         split.embed_real(rng.normal(size=m[2]),
                                          m[1].dim_dw, m[1].dim_up, ddp,
                                          dup)
-                        for m in chunk])
+                        for m in batch])
                     if cfg.ed_precision == "mixed":
                         # batched f32 Krylov (fused Pallas H·v on TPU) +
                         # batched f64 Rayleigh-Ritz refine; the f64 stack
                         # is built lazily AFTER the f32 stage (thunk), so
                         # the two operator stacks never coexist in HBM
-                        def fb64(i, v0_row, _chunk=chunk):
+                        def fb64(i, v0_row, _chunk=batch):
                             # full-f64 polish at the caller's tolerance
                             # (not the vector acceptance rtol): keeps
                             # ARPACK tol=0 semantics (ADVICE r3)
@@ -257,33 +275,36 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
 
                         res_list = lanczos.lanczos_eigh_mixed_real_batched(
                             split.apply_real_flat_batched,
-                            split.apply_real_flat_batched, len(chunk),
+                            split.apply_real_flat_batched, len(batch),
                             dim_p, neigen=neigen_g, ncv=ncv_g,
                             maxiter=maxiter_g, tol=cfg.lanc_tolerance,
                             v0=v0,
-                            op32=split.stack_real_ops(
-                                [m[1] for m in chunk], (ddp, dup),
-                                dtype=jnp.float32),
-                            op64=lambda _c=chunk: split.stack_real_ops(
-                                [m[1] for m in _c], (ddp, dup)),
+                            op32=shard(split.stack_real_ops(
+                                [m[1] for m in batch], (ddp, dup),
+                                dtype=jnp.float32)),
+                            op64=lambda _c=batch: shard(
+                                split.stack_real_ops(
+                                    [m[1] for m in _c], (ddp, dup))),
                             fallback64=fb64,
-                            vec_rtol=cfg.ed_mixed_vec_tol)
+                            vec_rtol=cfg.ed_mixed_vec_tol,
+                            batch_mesh=smesh)
                     else:
                         res_list = lanczos.lanczos_eigh_real_batched(
-                            split.apply_real_flat_batched, len(chunk),
+                            split.apply_real_flat_batched, len(batch),
                             dim_p, neigen=neigen_g, ncv=ncv_g,
                             maxiter=maxiter_g, tol=cfg.lanc_tolerance,
-                            v0=v0, op=split.stack_real_ops(
-                                [m[1] for m in chunk], (ddp, dup)))
+                            v0=v0, op=shard(split.stack_real_ops(
+                                [m[1] for m in batch], (ddp, dup))),
+                            batch_mesh=smesh)
                 else:
                     v0 = np.stack([
                         split.embed_real(
                             rng.normal(size=m[2])
                             + 1j * rng.normal(size=m[2]),
                             m[1].dim_dw, m[1].dim_up, ddp, dup)
-                        for m in chunk])
+                        for m in batch])
                     if cfg.ed_precision == "mixed":
-                        def fb64c(i, v0_row, _chunk=chunk):
+                        def fb64c(i, v0_row, _chunk=batch):
                             dev_i = split.build_pair_padded(_chunk[i][1])[0]
                             return lanczos.lanczos_eigh_split(
                                 split.apply_pair_flat, dim_p,
@@ -295,24 +316,27 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         res_list = \
                             lanczos.lanczos_eigh_mixed_split_batched(
                                 split.apply_pair_flat_batched,
-                                split.apply_pair_flat_batched, len(chunk),
+                                split.apply_pair_flat_batched, len(batch),
                                 dim_p, neigen=neigen_g, ncv=ncv_g,
                                 maxiter=maxiter_g, tol=cfg.lanc_tolerance,
                                 v0=v0,
-                                op32=split.stack_pair_ops(
-                                    [m[1] for m in chunk], (ddp, dup),
-                                    dtype=jnp.float32),
-                                op64=lambda _c=chunk: split.stack_pair_ops(
-                                    [m[1] for m in _c], (ddp, dup)),
+                                op32=shard(split.stack_pair_ops(
+                                    [m[1] for m in batch], (ddp, dup),
+                                    dtype=jnp.float32)),
+                                op64=lambda _c=batch: shard(
+                                    split.stack_pair_ops(
+                                        [m[1] for m in _c], (ddp, dup))),
                                 fallback64=fb64c,
-                                vec_rtol=cfg.ed_mixed_vec_tol)
+                                vec_rtol=cfg.ed_mixed_vec_tol,
+                                batch_mesh=smesh)
                     else:
                         res_list = lanczos.lanczos_eigh_split_batched(
-                            split.apply_pair_flat_batched, len(chunk),
+                            split.apply_pair_flat_batched, len(batch),
                             dim_p, neigen=neigen_g, ncv=ncv_g,
                             maxiter=maxiter_g, tol=cfg.lanc_tolerance,
-                            v0=v0, op=split.stack_pair_ops(
-                                [m[1] for m in chunk], (ddp, dup)))
+                            v0=v0, op=shard(split.stack_pair_ops(
+                                [m[1] for m in batch], (ddp, dup))),
+                            batch_mesh=smesh)
                 for m, res in zip(chunk, res_list):
                     isector, op, dim, neigen = m[0], m[1], m[2], m[3]
                     if not res.converged:
@@ -326,7 +350,7 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         op.dim_dw, op.dim_up, ddp, dup)
                     batched_results[isector] = (
                         np.asarray(res.eigenvalues)[:neigen], vecs)
-                verbose(f"batched {len(chunk)} "
+                verbose(f"batched {len(chunk)}/{len(batch)} "
                         f"{'real' if is_real else 'complex'} sectors "
                         f"(bucket {ddp}x{dup}, ncv={ncv_g}) "
                         f"[{time.time()-t0:6.2f}s]")

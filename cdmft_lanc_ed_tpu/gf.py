@@ -494,7 +494,12 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
         # 3 live planes per row of the batch)
         jdim = batch.shape[1]
         planes = 1 if (is_real and use_split) else 2
-        rows_max = max(nimp, int(2e9 / max(jdim * 8 * 3 * planes, 1)))
+        from .utils.membudget import budget_bytes
+        rows_max = max(nimp, int(
+            budget_bytes(0.25,
+                         log=(log if cfg.ed_verbose >= 3 else None),
+                         what="gf-injection-batch")
+            / max(jdim * 8 * 3 * planes, 1)))
         nlanc = min(jdim, cfg.lanc_ngfiter)
         for lo in range(0, len(meta), rows_max):
             sub = batch[lo:lo + rows_max]

@@ -40,6 +40,24 @@ def _as_applier(matvec, op):
     return (lambda _o, *xs: matvec(*xs)), 0, False
 
 
+def _batch_put(mesh, axis: str = "sector"):
+    """Placement function sharding the LEADING (batch) axis of an array
+    over ``mesh`` axis ``axis`` — the sector-parallel dispatch lever
+    (SURVEY 2.3 item 7: B same-bucket sectors run data-parallel across
+    chips; every per-member op is independent, so GSPMD partitions the
+    batched kernels with zero communication).  Identity when mesh is
+    None."""
+    if mesh is None:
+        return lambda a: a
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def put(a):
+        spec = PartitionSpec(axis, *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return put
+
+
 @functools.lru_cache(maxsize=None)
 def _basis_init(ncv1: int, dim: int, dtype):
     """Jitted zeros+set-row: EAGER `.at[0].set` copies the whole basis,
@@ -530,7 +548,7 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
                               tol: float = 1e-14,
                               v0: Optional[np.ndarray] = None,
                               seed: int = 8527, op=None,
-                              dtype=jnp.float64):
+                              dtype=jnp.float64, batch_mesh=None):
     """Batched thick-restart Lanczos: ``nbatch`` independent REAL symmetric
     operators (one batched matvec [B, dim] -> [B, dim]) solved in ONE
     device stream with a SHARED restart schedule.
@@ -556,8 +574,12 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
     v0 = np.real(np.asarray(v0))
     v0 = v0 / np.linalg.norm(v0, axis=1, keepdims=True)
 
-    basis = jnp.zeros((b, ncv + 1, dim), dtype).at[:, 0].set(
-        jnp.asarray(v0, dtype))
+    # sector-parallel: basis [B, ncv+1, dim] sharded on the batch axis;
+    # with the op stack sharded the same way GSPMD keeps every restart
+    # device-local (the caller device_puts the op, diag.py)
+    bput = _batch_put(batch_mesh)
+    basis = bput(jnp.zeros((b, ncv + 1, dim), dtype).at[:, 0].set(
+        jnp.asarray(v0, dtype)))
     t_proj = np.zeros((b, ncv, ncv))
     apply_fn, opd, cached = _as_applier(matvec_batched, op)
     expand = (_expand_real_batched(apply_fn) if cached
@@ -690,7 +712,7 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
                                tol: float = 1e-14,
                                v0: Optional[np.ndarray] = None,
                                seed: int = 8527, op=None,
-                               dtype=jnp.float64):
+                               dtype=jnp.float64, batch_mesh=None):
     """Batched thick-restart Lanczos on the split-pair representation:
     the complex-sector twin of :func:`lanczos_eigh_real_batched`
     (``matvec_pair_batched`` maps (xr, xi) [B, dim] pairs).  ``v0`` is a
@@ -709,10 +731,11 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
     v0 = np.asarray(v0, np.complex128)
     v0 = v0 / np.linalg.norm(v0, axis=1, keepdims=True)
 
-    br = jnp.zeros((b, ncv + 1, dim), dtype).at[:, 0].set(
-        jnp.asarray(np.ascontiguousarray(v0.real), dtype))
-    bi = jnp.zeros((b, ncv + 1, dim), dtype).at[:, 0].set(
-        jnp.asarray(np.ascontiguousarray(v0.imag), dtype))
+    bput = _batch_put(batch_mesh)
+    br = bput(jnp.zeros((b, ncv + 1, dim), dtype).at[:, 0].set(
+        jnp.asarray(np.ascontiguousarray(v0.real), dtype)))
+    bi = bput(jnp.zeros((b, ncv + 1, dim), dtype).at[:, 0].set(
+        jnp.asarray(np.ascontiguousarray(v0.imag), dtype)))
     t_proj = np.zeros((b, ncv, ncv), np.complex128)
     apply_fn, opd, cached = _as_applier(matvec_pair_batched, op)
     expand = (_expand_split_batched(apply_fn) if cached
@@ -918,9 +941,19 @@ def _gram_pair_chunked(ar, ai, br, bi):
 
 def _refine_k_cap(dim: int, k0: int, ne: int, planes: int = 1) -> int:
     """Subspace-size cap for the device-resident refines: q + w are
-    [k, dim] f64 each (x planes), budgeted to ~2 GB total."""
-    budget = int(2e9 / max(16 * planes * dim, 1))
+    [k, dim] f64 each (x planes), budgeted to a fraction of the actual
+    device memory (legacy 2 GB on backends without memory stats)."""
+    from ..utils.membudget import budget_bytes
+    budget = int(budget_bytes(0.125) / max(16 * planes * dim, 1))
     return max(k0, min(96, dim, budget))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(dst, rows, k):
+    """Fixed-shape donated row write at traced offset (one compile per
+    allocation stage; an eager ``.at[k:k+ne].set`` bakes the index and
+    recompiles per round over the TPU tunnel)."""
+    return jax.lax.dynamic_update_slice(dst, rows, (k, 0))
 
 
 def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
@@ -931,22 +964,31 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
     EXPLICIT (``w`` rows hold exact f64 H@q, so the rotated
     ``wx - theta x`` is the true residual — no Gram-identity cancellation
     floor), which lets the acceptance certify vector tolerances down to
-    ~eps*||H||.  With ``rtol`` set, expansion appends the orthonormalised
-    residual block of the wanted Ritz rows until
-    ``resid <= rtol*max(|theta|,1)`` (or ``max_expand`` rounds / the HBM
-    cap).  Returns (theta [ne], new_vecs [ne, dim] DEVICE, resid [ne])."""
+    ~eps*||H||.  With ``rtol`` set, expansion writes the orthonormalised
+    residual block of the wanted Ritz rows into FIXED preallocated bases
+    (zero rows are inert; traced write offset — one compile per stage,
+    not per round) until ``resid <= rtol*max(|theta|,1)`` (or
+    ``max_expand`` rounds / the HBM cap).
+    Returns (theta [ne], new_vecs [ne, dim] DEVICE, resid [ne])."""
     apply_fn, opd, _ = _as_applier(matvec_real64, op64)
-    v = jnp.asarray(vecs, jnp.float64)                 # [k, dim]
-    k0, dim = v.shape
+    v0 = jnp.asarray(vecs, jnp.float64)                # [k0, dim]
+    k0, dim = v0.shape
     ne = min(neigen, k0)
     k_cap = _refine_k_cap(dim, k0, ne)
+    kalloc = k_cap if rtol is not None else k0
     # k x k reductions as CHUNKED grams: both the [k,dim]x[dim,k] matmul
     # and whole-row f64 vdots materialise O(8*dim) f32 temps on this
     # backend (observed 5.3 GB at dim 1.66e8); chunked accumulation keeps
     # the temp at chunk size.  g/hk grow incrementally on the host.
-    w = jnp.stack([apply_fn(opd, v[j]) for j in range(k0)])
-    g = np.asarray(_gram_chunked(v, v))
-    hk = np.asarray(_gram_chunked(v, w))
+    w0 = jnp.stack([apply_fn(opd, v0[j]) for j in range(k0)])
+    v = jnp.zeros((kalloc, dim), jnp.float64).at[:k0].set(v0)
+    w = jnp.zeros((kalloc, dim), jnp.float64).at[:k0].set(w0)
+    g = np.zeros((kalloc, kalloc))
+    hk = np.zeros((kalloc, kalloc))
+    g[:k0, :k0] = np.asarray(_gram_chunked(v0, v0))
+    hk[:k0, :k0] = np.asarray(_gram_chunked(v0, w0))
+    del v0, w0
+    k_act = k0
     theta = x = resid = None
     for it in range(max_expand + 1):
         s_t, theta = _canonical_rr(0.5 * (g + g.T)[None],
@@ -963,24 +1005,30 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
         resid = np.where(theta[:ne] >= 1e30, np.inf, resid)
         done = (rtol is None or np.all(
             resid <= rtol * np.maximum(np.abs(th), 1.0)))
-        if done or it == max_expand or v.shape[0] + ne > k_cap:
+        if done or it == max_expand or k_act + ne > k_cap:
             break
         for _ in range(2):                             # CGS2 vs current v
-            c = np.asarray(_gram_chunked(r, v))        # [ne, k]
+            c = np.asarray(_gram_chunked(r, v))        # [ne, kalloc]
             r = r - _restart_real(v, jnp.asarray(
                 np.ascontiguousarray(c.T)))
         nrm = np.sqrt(np.maximum(
             np.asarray(_gram_chunked(r, r)).diagonal(), 0.0))
         rhat = r / jnp.asarray(np.maximum(nrm, 1e-30))[:, None]
         w_new = jnp.stack([apply_fn(opd, rhat[j]) for j in range(ne)])
-        gc = np.asarray(_gram_chunked(rhat, v))        # [ne, k]
+        gc = np.asarray(_gram_chunked(rhat, v))        # [ne, kalloc]
         gd = np.asarray(_gram_chunked(rhat, rhat))
         hc = np.asarray(_gram_chunked(rhat, w))
         hd = np.asarray(_gram_chunked(rhat, w_new))
-        g = np.block([[g, gc.T], [gc, gd]])
-        hk = np.block([[hk, hc.T], [hc, 0.5 * (hd + hd.T)]])
-        v = jnp.concatenate([v, rhat])
-        w = jnp.concatenate([w, w_new])
+        sl = slice(k_act, k_act + ne)
+        g[sl, :] = gc
+        g[:, sl] = gc.T
+        g[sl, sl] = gd
+        hk[sl, :] = hc
+        hk[:, sl] = hc.T
+        hk[sl, sl] = 0.5 * (hd + hd.T)
+        v = _write_rows(v, rhat, k_act)
+        w = _write_rows(w, w_new, k_act)
+        k_act += ne
     return theta[:ne], x, resid
 
 
@@ -1074,21 +1122,23 @@ def _ritz_resid_rows_b(q, w, s_t_ne, theta_ne):
 @functools.lru_cache(maxsize=None)
 def _append_rows_real_b(apply_fn):
     """One device call for a refine expansion round (real plane):
-    CGS2-orthogonalise the precomputed residual block against ``q``,
-    append it, and run the matvec block on the new rows.  ``q`` and ``w``
-    are DONATED — the appended bases reuse their buffers (holding
-    old+new [B, k, dim] f64 bases doubled the refine's peak HBM,
-    ADVICE r3)."""
+    CGS2-orthogonalise the precomputed residual block against ``q``
+    (inert zero rows contribute nothing), matvec it, and WRITE it into
+    the preallocated bases at traced row offset ``k``.  Fixed shapes —
+    one XLA compile per allocation stage instead of one per round (the
+    growing-concatenate form recompiled every append over the TPU
+    tunnel) — and ``q``/``w`` are DONATED, so the bases update in
+    place (ADVICE r3: holding old+new doubled peak HBM)."""
     rows_fn = jax.vmap(apply_fn, in_axes=(None, 1), out_axes=1)
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def step(op, q, w, r):
+    def step(op, q, w, r, k):
         for _ in range(2):                         # CGS2 vs current q
             r = r - _rotate_rows_b(_gram_rows_b(r, q), q)
         nrm = jnp.linalg.norm(r, axis=2, keepdims=True)
         rhat = r / jnp.maximum(nrm, 1e-30)
-        qn = jnp.concatenate([q, rhat], axis=1)
-        wn = jnp.concatenate([w, rows_fn(op, rhat)], axis=1)
+        qn = jax.lax.dynamic_update_slice(q, rhat, (0, k, 0))
+        wn = jax.lax.dynamic_update_slice(w, rows_fn(op, rhat), (0, k, 0))
         return qn, wn
 
     return step
@@ -1138,11 +1188,12 @@ def _ritz_resid_rows_pair_b(qr, qi, wr, wi, sr, si, theta):
 
 @functools.lru_cache(maxsize=None)
 def _append_rows_pair_b(apply_fn):
-    """Split-pair twin of :func:`_append_rows_real_b` (donated bases)."""
+    """Split-pair twin of :func:`_append_rows_real_b` (fixed-shape write
+    at traced offset, donated bases)."""
     rows_fn = jax.vmap(apply_fn, in_axes=(None, 1, 1), out_axes=1)
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
-    def step(op, qr, qi, wr, wi, br_, bi_):
+    def step(op, qr, qi, wr, wi, br_, bi_, k):
         for _ in range(2):                         # CGS2 vs current q
             cr, ci = _gram_rows_pair_b(qr, qi, br_, bi_)   # [B, k, ne]
             ct_r = cr.transpose(0, 2, 1)
@@ -1154,10 +1205,9 @@ def _append_rows_pair_b(apply_fn):
         rhr = br_ / jnp.maximum(nrm, 1e-30)
         rhi = bi_ / jnp.maximum(nrm, 1e-30)
         w2r, w2i = rows_fn(op, rhr, rhi)
-        return (jnp.concatenate([qr, rhr], axis=1),
-                jnp.concatenate([qi, rhi], axis=1),
-                jnp.concatenate([wr, w2r], axis=1),
-                jnp.concatenate([wi, w2i], axis=1))
+        upd = jax.lax.dynamic_update_slice
+        return (upd(qr, rhr, (0, k, 0)), upd(qi, rhi, (0, k, 0)),
+                upd(wr, w2r, (0, k, 0)), upd(wi, w2i, (0, k, 0)))
 
     return step
 
@@ -1215,7 +1265,7 @@ def _mixed_vec_rtol(requested=None) -> float:
 
 def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
                                  neigen: int, op64=None, rtol=None,
-                                 max_expand: int = 24):
+                                 max_expand: int = 24, batch_mesh=None):
     """Batched real Rayleigh-Ritz refine, DEVICE-resident: vecs
     [B, k, dim] approximate (f32) eigenbases refined by residual-block
     subspace expansion until every member's wanted residuals meet
@@ -1232,11 +1282,25 @@ def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
                else jax.vmap(apply_fn, in_axes=(None, 1), out_axes=1))
     b, k0, dim = vecs.shape
     ne = neigen
-    # HBM cap: q + w are [B, k, dim] f64 each (both live across the
-    # donated append, so budget for 2x)
-    k_cap = max(k0, min(96, dim, int(1.2e8 / max(b * dim, 1))))
-    q = jnp.asarray(np.ascontiguousarray(np.real(vecs)), jnp.float64)
-    w = rows_fn(opd, q)
+    bput = _batch_put(batch_mesh)
+    # HBM cap: q + w are [B, k, dim] f64 each.  Bases are preallocated
+    # at STAGED sizes (first k0+4*ne, then k_cap) with zero rows — zero
+    # rows are inert through the Gram/whitening — and appends write at a
+    # TRACED offset: two compiled shape families per bucket instead of
+    # one compile per round (the growing shapes recompiled every append
+    # over the TPU tunnel).
+    from ..utils.membudget import budget_bytes
+    k_cap = max(k0, min(96, dim,
+                        int(budget_bytes(0.125) / max(16 * b * dim, 1))))
+    stages = [k0] if rtol is None else \
+        sorted({min(k0 + 4 * ne, k_cap), k_cap})
+    kalloc = stages[0]
+    v64 = jnp.asarray(np.ascontiguousarray(np.real(vecs)), jnp.float64)
+    q = bput(jnp.zeros((b, kalloc, dim), jnp.float64).at[:, :k0].set(v64))
+    w0 = rows_fn(opd, bput(v64))
+    w = bput(jnp.zeros((b, kalloc, dim), jnp.float64).at[:, :k0].set(w0))
+    del v64, w0
+    k_act = k0
     theta = resid_np = x = None
     for it in range(max_expand + 1):
         g_np, hk_np = map(np.asarray, _refine_stats_b(q, w))
@@ -1251,9 +1315,15 @@ def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
         resid_np = np.where(theta[:, :ne] >= 1e30, np.inf, resid_np)
         done = (rtol is None or np.all(
             resid_np <= rtol * np.maximum(np.abs(th), 1.0)))
-        if done or it == max_expand or q.shape[1] + ne > k_cap:
+        if done or it == max_expand or k_act + ne > k_cap:
             break
-        q, w = step(opd, q, w, r)
+        if k_act + ne > kalloc:            # grow to the next stage
+            kalloc = min(s for s in stages if s >= k_act + ne)
+            pad = kalloc - q.shape[1]
+            q = bput(jnp.pad(q, ((0, 0), (0, pad), (0, 0))))
+            w = bput(jnp.pad(w, ((0, 0), (0, pad), (0, 0))))
+        q, w = step(opd, q, w, r, k_act)
+        k_act += ne
     xv = np.asarray(x)
     nrm = np.linalg.norm(xv, axis=2, keepdims=True)
     return (theta[:, :ne], xv / np.maximum(nrm, 1e-300), resid_np)
@@ -1266,7 +1336,8 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
                                     v0: Optional[np.ndarray] = None,
                                     seed: int = 8527, op32=None,
                                     op64=None, fallback64=None,
-                                    vec_rtol: Optional[float] = None):
+                                    vec_rtol: Optional[float] = None,
+                                    batch_mesh=None):
     """Mixed-precision sector-parallel dispatch: B same-bucket REAL
     sectors run ONE batched f32 thick-restart Lanczos stream (Pallas
     fused H·v on TPU), refined by a batched f64 Rayleigh-Ritz expansion
@@ -1283,7 +1354,7 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
     res32 = lanczos_eigh_real_batched(
         matvec_batched32, nbatch, dim, neigen=neigen, ncv=ncv,
         maxiter=maxiter, tol=f32_tol, v0=v0, seed=seed, op=op32,
-        dtype=jnp.float32)
+        dtype=jnp.float32, batch_mesh=batch_mesh)
     # free the f32 operator stack BEFORE materialising the f64 one: the
     # refine never touches op32, and holding both costs ~1.5x the f64-only
     # operator HBM footprint (ADVICE round 1).  ``op64`` may be a zero-arg
@@ -1294,7 +1365,8 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
     vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
     rtol = _mixed_vec_rtol(vec_rtol)
     theta, vecs, resid = rayleigh_refine_real_batched(
-        matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
+        matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol,
+        batch_mesh=batch_mesh)
     okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
     out = []
     for i in range(nbatch):
@@ -1311,7 +1383,7 @@ def lanczos_eigh_mixed_real_batched(matvec_batched32, matvec_batched64,
 
 def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
                                   neigen: int, op64=None, rtol=None,
-                                  max_expand: int = 24):
+                                  max_expand: int = 24, batch_mesh=None):
     """Batched complex Rayleigh-Ritz refine on the split-pair kernel:
     vecs [B, k, dim] complex approximate eigenbases, one batched f64 pair
     matvec (xr, xi) [B, dim] -> (wr, wi).  ``rtol``/``max_expand`` as in
@@ -1324,10 +1396,26 @@ def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
                else jax.vmap(apply_fn, in_axes=(None, 1, 1), out_axes=1))
     b, k0, dim = vecs.shape
     ne = neigen
-    k_cap = max(k0, min(96, dim, int(6e7 / max(b * dim, 1))))
-    qr = jnp.asarray(np.ascontiguousarray(vecs.real), jnp.float64)
-    qi = jnp.asarray(np.ascontiguousarray(vecs.imag), jnp.float64)
-    wr, wi = rows_fn(opd, qr, qi)
+    from ..utils.membudget import budget_bytes
+    k_cap = max(k0, min(96, dim,
+                        int(budget_bytes(0.125) / max(32 * b * dim, 1))))
+    bput = _batch_put(batch_mesh)
+    # staged fixed-shape bases: see rayleigh_refine_real_batched
+    stages = [k0] if rtol is None else \
+        sorted({min(k0 + 4 * ne, k_cap), k_cap})
+    kalloc = stages[0]
+
+    def alloc(host, w_rows=None):
+        z = jnp.zeros((b, kalloc, dim), jnp.float64)
+        return bput(z.at[:, :k0].set(host if w_rows is None else w_rows))
+
+    vr64 = jnp.asarray(np.ascontiguousarray(vecs.real), jnp.float64)
+    vi64 = jnp.asarray(np.ascontiguousarray(vecs.imag), jnp.float64)
+    qr, qi = alloc(vr64), alloc(vi64)
+    w0r, w0i = rows_fn(opd, bput(vr64), bput(vi64))
+    wr, wi = alloc(None, w0r), alloc(None, w0i)
+    del vr64, vi64, w0r, w0i
+    k_act = k0
     theta = resid_np = xr = xi = None
     for it in range(max_expand + 1):
         gr, gi, hr, hi = map(
@@ -1343,9 +1431,16 @@ def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
         resid_np = np.where(theta[:, :ne] >= 1e30, np.inf, resid_np)
         done = (rtol is None or np.all(
             resid_np <= rtol * np.maximum(np.abs(th), 1.0)))
-        if done or it == max_expand or qr.shape[1] + ne > k_cap:
+        if done or it == max_expand or k_act + ne > k_cap:
             break
-        qr, qi, wr, wi = step(opd, qr, qi, wr, wi, rr_, ri_)
+        if k_act + ne > kalloc:            # grow to the next stage
+            kalloc = min(s for s in stages if s >= k_act + ne)
+            pad = kalloc - qr.shape[1]
+            pads = ((0, 0), (0, pad), (0, 0))
+            qr, qi = bput(jnp.pad(qr, pads)), bput(jnp.pad(qi, pads))
+            wr, wi = bput(jnp.pad(wr, pads)), bput(jnp.pad(wi, pads))
+        qr, qi, wr, wi = step(opd, qr, qi, wr, wi, rr_, ri_, k_act)
+        k_act += ne
     xv = np.asarray(xr) + 1j * np.asarray(xi)
     nrm = np.linalg.norm(xv, axis=2, keepdims=True)
     return (theta[:, :ne], xv / np.maximum(nrm, 1e-300), resid_np)
@@ -1358,7 +1453,8 @@ def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
                                      v0: Optional[np.ndarray] = None,
                                      seed: int = 8527, op32=None,
                                      op64=None, fallback64=None,
-                                     vec_rtol: Optional[float] = None):
+                                     vec_rtol: Optional[float] = None,
+                                     batch_mesh=None):
     """Complex-sector twin of :func:`lanczos_eigh_mixed_real_batched`:
     batched f32 split-pair thick-restart Lanczos + batched f64
     Rayleigh-Ritz expansion refine (explicit-residual vector
@@ -1367,14 +1463,15 @@ def lanczos_eigh_mixed_split_batched(matvec_batched32, matvec_batched64,
     res32 = lanczos_eigh_split_batched(
         matvec_batched32, nbatch, dim, neigen=neigen, ncv=ncv,
         maxiter=maxiter, tol=f32_tol, v0=v0, seed=seed, op=op32,
-        dtype=jnp.float32)
+        dtype=jnp.float32, batch_mesh=batch_mesh)
     del op32                        # see lanczos_eigh_mixed_real_batched
     if callable(op64):
         op64 = op64()
     vecs32 = np.stack([r.eigenvectors for r in res32])   # [B, ne, dim]
     rtol = _mixed_vec_rtol(vec_rtol)
     theta, vecs, resid = rayleigh_refine_split_batched(
-        matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol)
+        matvec_batched64, vecs32, neigen, op64=op64, rtol=rtol,
+        batch_mesh=batch_mesh)
     okm = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0), axis=1)
     out = []
     for i in range(nbatch):
@@ -1706,20 +1803,29 @@ def rayleigh_refine_split_device(matvec_pair64, vecs, neigen: int,
     :func:`rayleigh_refine_real_device`).  Returns
     (theta [ne], (nr, ni) [ne, dim] DEVICE pair, resid [ne])."""
     apply_fn, opd, _ = _as_applier(matvec_pair64, op64)
-    vr = jnp.asarray(vecs[0], jnp.float64)
-    vi = jnp.asarray(vecs[1], jnp.float64)
-    k0, dim = vr.shape
+    vr0 = jnp.asarray(vecs[0], jnp.float64)
+    vi0 = jnp.asarray(vecs[1], jnp.float64)
+    k0, dim = vr0.shape
     ne = min(neigen, k0)
     k_cap = _refine_k_cap(dim, k0, ne, planes=2)
+    kalloc = k_cap if rtol is not None else k0
 
     def apply_rows(ar, ai, n):
         ws = [apply_fn(opd, ar[j], ai[j]) for j in range(n)]
         return (jnp.stack([w[0] for w in ws]),
                 jnp.stack([w[1] for w in ws]))
 
-    wr, wi = apply_rows(vr, vi, k0)
-    g = _gram_pair_chunked(vr, vi, vr, vi)
-    hk = _gram_pair_chunked(vr, vi, wr, wi)
+    wr0, wi0 = apply_rows(vr0, vi0, k0)
+    vr = jnp.zeros((kalloc, dim), jnp.float64).at[:k0].set(vr0)
+    vi = jnp.zeros((kalloc, dim), jnp.float64).at[:k0].set(vi0)
+    wr = jnp.zeros((kalloc, dim), jnp.float64).at[:k0].set(wr0)
+    wi = jnp.zeros((kalloc, dim), jnp.float64).at[:k0].set(wi0)
+    g = np.zeros((kalloc, kalloc), np.complex128)
+    hk = np.zeros((kalloc, kalloc), np.complex128)
+    g[:k0, :k0] = _gram_pair_chunked(vr0, vi0, vr0, vi0)
+    hk[:k0, :k0] = _gram_pair_chunked(vr0, vi0, wr0, wi0)
+    del vr0, vi0, wr0, wi0
+    k_act = k0
     theta = xr = xi = resid = None
     for it in range(max_expand + 1):
         s_t, theta = _canonical_rr(0.5 * (g + g.conj().T)[None],
@@ -1737,11 +1843,11 @@ def rayleigh_refine_split_device(matvec_pair64, vecs, neigen: int,
         resid = np.where(theta[:ne] >= 1e30, np.inf, resid)
         done = (rtol is None or np.all(
             resid <= rtol * np.maximum(np.abs(th), 1.0)))
-        if done or it == max_expand or vr.shape[0] + ne > k_cap:
+        if done or it == max_expand or k_act + ne > k_cap:
             break
         for _ in range(2):                             # CGS2 vs current v
             # c[e, k] = <v_k | r_e>; r_e -= sum_k c[e, k] v_k
-            c = _gram_pair_chunked(vr, vi, rr_, ri_).T  # [ne, k]
+            c = _gram_pair_chunked(vr, vi, rr_, ri_).T  # [ne, kalloc]
             dr, di = _rotate_pair_rows(vr, vi, c)
             rr_, ri_ = rr_ - dr, ri_ - di
         nrm = np.sqrt(np.maximum(
@@ -1750,16 +1856,22 @@ def rayleigh_refine_split_device(matvec_pair64, vecs, neigen: int,
         scl = jnp.asarray(1.0 / np.maximum(nrm, 1e-30))[:, None]
         rhr, rhi = rr_ * scl, ri_ * scl
         w2r, w2i = apply_rows(rhr, rhi, ne)
-        gc = _gram_pair_chunked(rhr, rhi, vr, vi)      # [ne, k]
+        gc = _gram_pair_chunked(rhr, rhi, vr, vi)      # [ne, kalloc]
         gd = _gram_pair_chunked(rhr, rhi, rhr, rhi)
         hc = _gram_pair_chunked(rhr, rhi, wr, wi)
         hd = _gram_pair_chunked(rhr, rhi, w2r, w2i)
-        g = np.block([[g, gc.conj().T], [gc, gd]])
-        hk = np.block([[hk, hc.conj().T], [hc, 0.5 * (hd + hd.conj().T)]])
-        vr = jnp.concatenate([vr, rhr])
-        vi = jnp.concatenate([vi, rhi])
-        wr = jnp.concatenate([wr, w2r])
-        wi = jnp.concatenate([wi, w2i])
+        sl = slice(k_act, k_act + ne)
+        g[sl, :] = gc
+        g[:, sl] = gc.conj().T
+        g[sl, sl] = gd
+        hk[sl, :] = hc
+        hk[:, sl] = hc.conj().T
+        hk[sl, sl] = 0.5 * (hd + hd.conj().T)
+        vr = _write_rows(vr, rhr, k_act)
+        vi = _write_rows(vi, rhi, k_act)
+        wr = _write_rows(wr, w2r, k_act)
+        wi = _write_rows(wi, w2i, k_act)
+        k_act += ne
     return theta[:ne], (xr, xi), resid
 
 

@@ -56,6 +56,29 @@ def make_mesh(n_devices: int, n_sector: int = 1,
     return Mesh(arr, ("sector", "dw"))
 
 
+def sector_axis_size(mesh) -> int:
+    """Size of the 'sector' axis of the installed mesh (1 when absent):
+    the sector-parallel dispatch width of the production batched
+    eigensolver (SURVEY 2.3 item 7)."""
+    if mesh is None:
+        return 1
+    return int(dict(mesh.shape).get("sector", 1))
+
+
+def shard_batched_stack(stack, mesh, axis: str = "sector"):
+    """Shard every array of a stacked same-bucket operator pytree on its
+    LEADING batch axis over ``mesh`` axis ``axis``.  With the Krylov
+    basis sharded the same way (lanczos batch_mesh), GSPMD runs each
+    batch member's restarts entirely on its own device column — the
+    production sector-parallel path (the reference solves sectors
+    serially, ED_DIAG.f90:78)."""
+    def put(a):
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, stack)
+
+
 def stack_device_ops(ops: Sequence[SectorOperator], ndev_dw: int
                      ) -> DeviceSectorOp:
     """Stack same-shape sector operators along a leading batch axis."""

@@ -338,7 +338,14 @@ def make_sharded_matvec_dense_real(op: SectorOperator, mesh: Mesh,
                              NamedSharding(mesh, P(None, None, None)))
 
     up_loc = du // ndev
-    nchunk = overlap if (overlap > 1 and t == 0
+    # overlap is an ICI lever: on a host-virtual (CPU) mesh the chunked
+    # chains are measurably HARMFUL (SCALING_r03: overlap=4 was 1.6x
+    # slower than overlap=0 at 8 virtual devices — there is no async
+    # collective engine to hide the extra launches), so it auto-disables
+    # there and stays opt-in for real multi-chip ICI (round-3 VERDICT
+    # weak item 6).
+    cpu_virtual = all(d.platform == "cpu" for d in mesh.devices.flat)
+    nchunk = overlap if (overlap > 1 and t == 0 and not cpu_virtual
                          and up_loc % overlap == 0) else 1
 
     def kernel(diag_l, hupT, hdw, nd_upT, nd_dw, x):
