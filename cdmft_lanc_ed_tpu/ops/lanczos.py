@@ -366,12 +366,15 @@ def _restart_split(br, bi, sr, si):
 
 def _conv_ok(conv, rel, eps: float, dim: int) -> bool:
     """Converged verdict for a halted thick-restart sweep: either every
-    wanted residual met ``tol``, or the worst one sits at the dtype
-    residual floor ~ eps*sqrt(dim) (ARPACK tol=0 semantics: a solve that
-    bottoms out at machine precision IS converged; only a genuine stall
-    above the floor is a degraded result, ADVICE r3)."""
-    return bool(conv.all()) or \
-        float(np.max(rel)) <= 100.0 * eps * np.sqrt(max(dim, 1))
+    wanted residual met ``tol``, or the worst one is at/below 1e-9
+    relative (comfortably inside GF-grade vector quality — a 1e-9
+    residual perturbs Sigma by ~4e-6 at beta=1000) or at the dtype
+    residual floor ~ eps*sqrt(dim).  ARPACK tol=0 semantics: a solve
+    that bottoms out near machine precision IS converged; only a stall
+    well above that is a degraded result worth warning about
+    (ADVICE r3)."""
+    floor = max(1e-9, 100.0 * eps * np.sqrt(max(dim, 1)))
+    return bool(conv.all()) or float(np.max(rel)) <= floor
 
 
 class _StallGuard:
@@ -990,6 +993,7 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
     del v0, w0
     k_act = k0
     theta = x = resid = None
+    rstall = _RefineStall()
     for it in range(max_expand + 1):
         s_t, theta = _canonical_rr(0.5 * (g + g.T)[None],
                                    0.5 * (hk + hk.T)[None])
@@ -1005,7 +1009,9 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
         resid = np.where(theta[:ne] >= 1e30, np.inf, resid)
         done = (rtol is None or np.all(
             resid <= rtol * np.maximum(np.abs(th), 1.0)))
-        if done or it == max_expand or k_act + ne > k_cap:
+        worst = float(np.max(np.where(np.isfinite(resid), resid, 1.0)))
+        if done or it == max_expand or k_act + ne > k_cap \
+                or rstall.stalled(worst):
             break
         for _ in range(2):                             # CGS2 vs current v
             c = np.asarray(_gram_chunked(r, v))        # [ne, kalloc]
@@ -1243,6 +1249,26 @@ def _canonical_rr(g_np, hk_np):
     return s_t, theta
 
 
+class _RefineStall:
+    """Breaks the expansion loop when the worst wanted residual stops
+    improving (>=30% per round expected while block-Krylov growth is
+    productive): stragglers go to the warm-started f64 fallback instead
+    of burning max_expand rounds of matvecs + host RR round trips."""
+
+    def __init__(self, limit: int = 3):
+        self.best = np.inf
+        self.n = 0
+        self.limit = limit
+
+    def stalled(self, cur: float) -> bool:
+        if cur < 0.7 * self.best:
+            self.best = cur
+            self.n = 0
+        else:
+            self.n += 1
+        return self.n >= self.limit
+
+
 def _mixed_vec_rtol(requested=None) -> float:
     """Acceptance tolerance for the mixed path's refined eigenVECTOR
     residual (relative).  The retained vectors feed the Green's-function
@@ -1302,6 +1328,7 @@ def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
     del v64, w0
     k_act = k0
     theta = resid_np = x = None
+    rstall = _RefineStall()
     for it in range(max_expand + 1):
         g_np, hk_np = map(np.asarray, _refine_stats_b(q, w))
         s_t, theta = _canonical_rr(g_np, hk_np)
@@ -1315,7 +1342,10 @@ def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
         resid_np = np.where(theta[:, :ne] >= 1e30, np.inf, resid_np)
         done = (rtol is None or np.all(
             resid_np <= rtol * np.maximum(np.abs(th), 1.0)))
-        if done or it == max_expand or k_act + ne > k_cap:
+        worst = float(np.max(np.where(np.isfinite(resid_np), resid_np,
+                                      1.0)))
+        if done or it == max_expand or k_act + ne > k_cap \
+                or rstall.stalled(worst):
             break
         if k_act + ne > kalloc:            # grow to the next stage
             kalloc = min(s for s in stages if s >= k_act + ne)
@@ -1417,6 +1447,7 @@ def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
     del vr64, vi64, w0r, w0i
     k_act = k0
     theta = resid_np = xr = xi = None
+    rstall = _RefineStall()
     for it in range(max_expand + 1):
         gr, gi, hr, hi = map(
             np.asarray, _refine_stats_pair_b(qr, qi, wr, wi))
@@ -1431,7 +1462,10 @@ def rayleigh_refine_split_batched(matvec_pair_batched64, vecs: np.ndarray,
         resid_np = np.where(theta[:, :ne] >= 1e30, np.inf, resid_np)
         done = (rtol is None or np.all(
             resid_np <= rtol * np.maximum(np.abs(th), 1.0)))
-        if done or it == max_expand or k_act + ne > k_cap:
+        worst = float(np.max(np.where(np.isfinite(resid_np), resid_np,
+                                      1.0)))
+        if done or it == max_expand or k_act + ne > k_cap \
+                or rstall.stalled(worst):
             break
         if k_act + ne > kalloc:            # grow to the next stage
             kalloc = min(s for s in stages if s >= k_act + ne)
@@ -1827,6 +1861,7 @@ def rayleigh_refine_split_device(matvec_pair64, vecs, neigen: int,
     del vr0, vi0, wr0, wi0
     k_act = k0
     theta = xr = xi = resid = None
+    rstall = _RefineStall()
     for it in range(max_expand + 1):
         s_t, theta = _canonical_rr(0.5 * (g + g.conj().T)[None],
                                    0.5 * (hk + hk.conj().T)[None])
@@ -1843,7 +1878,9 @@ def rayleigh_refine_split_device(matvec_pair64, vecs, neigen: int,
         resid = np.where(theta[:ne] >= 1e30, np.inf, resid)
         done = (rtol is None or np.all(
             resid <= rtol * np.maximum(np.abs(th), 1.0)))
-        if done or it == max_expand or k_act + ne > k_cap:
+        worst = float(np.max(np.where(np.isfinite(resid), resid, 1.0)))
+        if done or it == max_expand or k_act + ne > k_cap \
+                or rstall.stalled(worst):
             break
         for _ in range(2):                             # CGS2 vs current v
             # c[e, k] = <v_k | r_e>; r_e -= sum_k c[e, k] v_k

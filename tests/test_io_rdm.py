@@ -184,3 +184,76 @@ def test_compat_api(tmp_path):
     g = C.ed_gf_cluster(s, 1j * np.pi / s.cfg.beta)
     assert g.shape == (4, 4, 1, 1, 1, 1, 1)
     assert C.ed_get_doubles(s).shape == (4,)
+
+
+def test_observables_energy_file_parity(tmp_path):
+    """Reference-parity file set and column layout for the observables
+    and energy writers (write_legend/write_observables/write_energy,
+    /root/reference/ED_OBSERVABLES.f90:966-1117): per-site
+    observables_all/last_site###.ed rows
+    [dens docc nup ndw mag s2 egs sz2_ab n2_ab], legends, parameters
+    files, full Sz/N2 tensor files (round-3 VERDICT missing item 4)."""
+    import os
+    from cdmft_lanc_ed_tpu import EDConfig, EDSolver
+
+    cfg = EDConfig(nlat=2, norb=1, nspin=1, nbath=1, uloc=[2.0],
+                   lmats=8, lreal=4, lanc_dim_threshold=64, gf_flag=False,
+                   ed_verbose=0, work_dir=str(tmp_path))
+    nn = (2, 2, 1, 1, 1, 1)
+    hloc = np.zeros(nn, np.complex128)
+    hloc[0, 1, 0, 0, 0, 0] = hloc[1, 0, 0, 0, 0, 0] = -1.0
+    basis = np.zeros((1,) + nn, np.complex128)
+    for il in range(2):
+        basis[0, il, il, 0, 0, 0, 0] = 1.0
+    s = EDSolver(cfg)
+    s.set_hbath(basis, np.array([[0.35]]))
+    b = s.init_solver()
+    s.solve(b, hloc)
+    s.solve(b, hloc)                    # _all files must APPEND
+
+    wd = str(tmp_path)
+    for f in ("observables_info.ed", "parameters_info.ed",
+              "energy_info.ed", "parameters_last.ed",
+              "observables_all_site001.ed", "observables_all_site002.ed",
+              "observables_last_site001.ed",
+              "observables_last_site002.ed", "Sz_ij_ab_last.ed",
+              "N2_ij_ab_last.ed", "energy_last.ed"):
+        assert os.path.exists(os.path.join(wd, f)), f
+
+    # legend column names (norb=1): 9 columns
+    hdr = open(os.path.join(wd, "observables_info.ed")).read()
+    for name in ("1dens_1", "2docc_1", "3nup_1", "4ndw_1", "5mag_1",
+                 "6s2", "7egs", "8sz2_11", "9n2_11"):
+        assert name in hdr, name
+    # per-site row: 9 F15.9 columns matching the solver state
+    row = np.loadtxt(os.path.join(wd, "observables_last_site001.ed"))
+    assert row.shape == (9,)
+    np.testing.assert_allclose(row[0], s.obs.dens[0, 0], atol=1e-8)
+    np.testing.assert_allclose(row[1], s.obs.docc[0, 0], atol=1e-8)
+    np.testing.assert_allclose(row[2], s.obs.dens_up[0, 0], atol=1e-8)
+    np.testing.assert_allclose(row[3], s.obs.dens_dw[0, 0], atol=1e-8)
+    np.testing.assert_allclose(row[6], s.egs, atol=1e-8)
+    np.testing.assert_allclose(row[7], s.obs.sz2[0, 0, 0, 0], atol=1e-8)
+    np.testing.assert_allclose(row[8], s.obs.n2[0, 0, 0, 0], atol=1e-8)
+    # _all appends one row per solve
+    allrows = np.loadtxt(os.path.join(wd, "observables_all_site001.ed"))
+    assert allrows.shape == (2, 9)
+    # parameters_last: xmu beta U Ust Jh Jx Jp as fixed-width F15.9
+    prow = np.loadtxt(os.path.join(wd, "parameters_last.ed"))
+    np.testing.assert_allclose(prow[:3], [cfg.xmu, cfg.beta, 2.0],
+                               atol=1e-8)
+    # energy_last: [Epot, Epot-Ehf, Eknot, Ehf, Dust, Dund]
+    erow = np.loadtxt(os.path.join(wd, "energy_last.ed"))
+    assert erow.shape == (6,)
+    np.testing.assert_allclose(erow[0], s.energy.epot, atol=1e-8)
+    np.testing.assert_allclose(
+        erow[1], s.energy.epot - s.energy.ehartree, atol=1e-8)
+    np.testing.assert_allclose(erow[2], s.energy.eknot, atol=1e-8)
+    # Sz tensor file: Nlat^2*Norb^2 indexed rows
+    lines = open(os.path.join(wd, "Sz_ij_ab_last.ed")).readlines()
+    assert lines[0].startswith("#I, J, a, b")
+    assert len(lines) == 1 + 4
+    i, j, a, bb, v = lines[1].split()
+    assert (int(i), int(j), int(a), int(bb)) == (1, 1, 1, 1)
+    np.testing.assert_allclose(float(v), s.obs.sz2[0, 0, 0, 0],
+                               atol=1e-8)
