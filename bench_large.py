@@ -67,10 +67,13 @@ def main():
         # the production default (1e-10, for vectors feeding Sigma)
         # would force the full-f64 fallback at dim 1.66e8, where the
         # HBM cap rules out refine expansion.
+        # two-stage Krylov: bf16 tiles for the cold restarts (~2x MXU),
+        # f32 once below bf16 resolution, f64 refine certifies
+        dev16 = large.build_real_padded_large(op, dtype=jnp.bfloat16)[0]
         res = lanczos.lanczos_eigh_mixed_real(
             large.apply_large_real_flat, mv64,
             dim_p, neigen=1, ncv=args.ncv, maxiter=args.maxiter,
-            tol=1e-8, v0=v0, op32=dev32,
+            tol=1e-8, v0=v0, op32=dev32, op16=dev16,
             device_vectors=True, vec_rtol=1e-8)
         dt = time.time() - t1
         print(json.dumps({
@@ -128,6 +131,32 @@ def main():
     print(f"# dt={dt*1e3:.1f}ms/Hv executed_f32_tflops="
           f"{flops/dt/1e12:.2f} device={jax.devices()[0].device_kind}",
           file=sys.stderr)
+
+    # bf16-tile variant (the coarse stage of the two-stage Krylov: tiles
+    # and the x operand in bf16, f32 accumulation).  Reported as its own
+    # row; correctness vs the f32 kernel is ~1e-2 relative (certified
+    # downstream by the f64 refine).
+    dev16 = large.to_device_large_real(op, dtype=jnp.bfloat16)
+
+    def chain16(x, steps):
+        return chain_op(dev16, x, steps)
+
+    w32 = np.asarray(large.matvec_large_real(dev, x)[:op.dim_dw, :256])
+    w16 = np.asarray(large.matvec_large_real(dev16, x)[:op.dim_dw, :256])
+    rel = float(np.linalg.norm(w16 - w32) / max(np.linalg.norm(w32), 1e-30))
+    dt16, _ = per_step(chain16, x, span=40, s_small=2,
+                       readback=lambda r: np.asarray(r[0, :8]),
+                       label="large-bf16")
+    print(json.dumps({
+        "metric": "large_sector_ns16_spmv_bf16_nnz_per_s",
+        "value": float(f"{nnz / dt16:.4g}"),
+        "unit": "nnz/s",
+        "vs_baseline": float(f"{nnz / dt16 / 1e9 / 100.0:.4g}"),
+        "dt_ms_per_hv": float(f"{dt16*1e3:.4g}"),
+        "rel_err_vs_f32": float(f"{rel:.3g}"),
+    }))
+    print(f"# bf16 dt={dt16*1e3:.1f}ms/Hv speedup={dt/dt16:.2f}x "
+          f"rel_err={rel:.2e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -506,13 +506,18 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         if cfg.ed_precision == "mixed":
                             dev32 = large.build_real_padded_large(
                                 op, dtype=jnp.float32)[0]
+                            # two-stage Krylov: bf16 tiles for the cold
+                            # restarts (~2x MXU MAC rate), f32 below
+                            # bf16 resolution, f64 refine certifies
+                            dev16 = large.build_real_padded_large(
+                                op, dtype=jnp.bfloat16)[0]
                             res = lanczos.lanczos_eigh_mixed_real(
                                 large.apply_large_real_flat,
                                 large.apply_large_real_flat, dim_p,
                                 neigen=neigen, ncv=nblock,
                                 maxiter=nitermax * nblock,
                                 tol=cfg.lanc_tolerance, v0=v0,
-                                op32=dev32, op64=dev,
+                                op32=dev32, op64=dev, op16=dev16,
                                 device_vectors=True,
                                 vec_rtol=cfg.ed_mixed_vec_tol)
                         else:
@@ -531,13 +536,15 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                         if cfg.ed_precision == "mixed":
                             dev32 = large.build_pair_padded_large(
                                 op, dtype=jnp.float32)[0]
+                            dev16 = large.build_pair_padded_large(
+                                op, dtype=jnp.bfloat16)[0]
                             res = lanczos.lanczos_eigh_mixed(
                                 large.apply_large_pair_flat,
                                 large.apply_large_pair_flat, dim_p,
                                 neigen=neigen, ncv=nblock,
                                 maxiter=nitermax * nblock,
                                 tol=cfg.lanc_tolerance, v0=v0,
-                                op32=dev32, op64=dev,
+                                op32=dev32, op64=dev, op16=dev16,
                                 device_vectors=True,
                                 vec_rtol=cfg.ed_mixed_vec_tol)
                         else:

@@ -373,7 +373,8 @@ def _conv_ok(conv, rel, eps: float, dim: int) -> bool:
     that bottoms out near machine precision IS converged; only a stall
     well above that is a degraded result worth warning about
     (ADVICE r3)."""
-    floor = max(1e-9, 100.0 * eps * np.sqrt(max(dim, 1)))
+    floor = max(1e-9, 10.0 * _f64_dot_floor(),
+                100.0 * eps * np.sqrt(max(dim, 1)))
     return bool(conv.all()) or float(np.max(rel)) <= floor
 
 
@@ -411,7 +412,8 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
                       maxiter: int = 512, tol: float = 1e-14,
                       v0: Optional[np.ndarray] = None,
                       seed: int = 8527, dtype=jnp.float64,
-                      op=None, device_vectors: bool = False) -> EighResult:
+                      op=None, device_vectors: bool = False,
+                      op16=None) -> EighResult:
     """Thick-restart Lanczos for a REAL symmetric operator with a real
     start vector: the whole Krylov iteration stays real (eigenvectors of a
     real symmetric H can always be chosen real), halving memory and
@@ -420,7 +422,14 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
 
     ``dtype=jnp.float32`` runs the ENTIRE device iteration (basis, matvec,
     CGS2) in f32 — required for the mixed-precision scheme; leaving the
-    basis f64 would silently promote the f32 matvec back to f64."""
+    basis f64 would silently promote the f32 matvec back to f64.
+
+    ``op16`` (optional): a bf16-tile build of the same operator used as
+    a COARSE first stage — restarts run with bf16 MXU MACs (~2x the f32
+    rate) until the worst wanted residual drops below ~3e-3 (bf16
+    resolution), then the loop switches to ``op``.  Most matvecs of a
+    cold solve happen above that threshold, and downstream accuracy is
+    certified by the f64 refine regardless."""
     neigen = min(neigen, dim)
     ncv = int(min(max(ncv, neigen + 2), dim))
     eps = float(np.finfo(np.dtype(dtype).name).eps)
@@ -442,8 +451,9 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
     k = 0
     nmv = 0
     stall = _StallGuard()
+    coarse = op16 is not None
     while True:
-        basis, cs, betas_d = expand(opd, basis, k)
+        basis, cs, betas_d = expand(op16 if coarse else opd, basis, k)
         cs = np.asarray(cs)
         betas_np = np.asarray(betas_d)
         for j in range(k, ncv):
@@ -460,8 +470,15 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
         resid = np.abs(last_beta * s[-1, :])
         rel = resid[:neigen] / np.maximum(np.abs(theta[:neigen]), 1.0)
         conv = rel <= tol
+        if coarse and (float(rel.max()) < 3e-3
+                       or stall.stalled(float(rel.max()))
+                       or nmv >= maxiter // 2):
+            # bf16 resolution reached: hand the basis to the f32 stage
+            coarse = False
+            stall = _StallGuard()
+            conv = np.zeros_like(conv)        # bf16-grade, never accept
         if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
-                or stall.stalled(float(rel.max())):
+                or (not coarse and stall.stalled(float(rel.max()))):
             sj = jnp.asarray(np.ascontiguousarray(s[:, :neigen]))
             if device_vectors:
                 # large sectors: keep the Ritz vectors DEVICE-resident
@@ -915,19 +932,23 @@ def _gram_chunked_jit(a, b, nch: int):
     def body(i, acc):
         sa = jax.lax.dynamic_slice(a, (0, i * chunk), (a.shape[0], chunk))
         sb = jax.lax.dynamic_slice(b, (0, i * chunk), (b.shape[0], chunk))
-        return acc + jnp.einsum("kd,ld->kl", sa, sb,
-                                precision=jax.lax.Precision.HIGHEST)
+        # elementwise product + sum, NOT a dot: the TPU f64 dot path is
+        # only ~4e-8 accurate (measured), elementwise f64 is exact
+        return acc + jnp.sum(sa[:, None, :] * sb[None, :, :], axis=-1)
 
     return jax.lax.fori_loop(
         0, nch, body,
         jnp.zeros((a.shape[0], b.shape[0]), jnp.result_type(a, b)))
 
 
-def _gram_chunked(a, b, target: int = 1 << 23):
+def _gram_chunked(a, b):
     """[k, dim] x [l, dim] -> [k, l] row-Gram for device rows, reduced in
-    dim-chunks (same f64-emulation-temp bound as :func:`_dot_chunked`,
-    but one device call for the whole k x l block)."""
+    dim-chunks: the TPU f64-dot emulation materialises the FULL
+    [planes, k, l, d] product tensor when contracting the minor axis
+    (reproduced: 3.4 GB at k=l=10, d=1e6 — the round-4 DMFT-bench OOM),
+    so the per-chunk temp is bounded at ~2^23 f32 elements per plane."""
     n = a.shape[1]
+    target = max(1 << 10, (1 << 21) // max(a.shape[0] * b.shape[0], 1))
     nch = 1
     while n // nch > target and n % (nch * 2) == 0:
         nch *= 2
@@ -1044,7 +1065,8 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
                             v0: Optional[np.ndarray] = None,
                             seed: int = 8527, op32=None,
                             op64=None, device_vectors: bool = False,
-                            vec_rtol: Optional[float] = None) -> EighResult:
+                            vec_rtol: Optional[float] = None,
+                            op16=None) -> EighResult:
     """Mixed-precision real-plane eigensolver (see
     :func:`lanczos_eigh_mixed`).  ``op32``/``op64`` select the pure
     apply(op, x) form for the two precisions; ``device_vectors`` keeps the
@@ -1054,7 +1076,7 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     res32 = lanczos_eigh_real(matvec_real32, dim, neigen=neigen, ncv=ncv,
                               maxiter=maxiter, tol=f32_tol, v0=v0,
                               seed=seed, dtype=jnp.float32, op=op32,
-                              device_vectors=device_vectors)
+                              device_vectors=device_vectors, op16=op16)
     rtol = _mixed_vec_rtol(vec_rtol)
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_real_device(
@@ -1084,12 +1106,44 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
 
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("nch",))
+def _gram_rows_b_jit(a, b_, nch: int):
+    d = a.shape[2]
+    chunk = d // nch
+
+    def body(i, acc):
+        sa = jax.lax.dynamic_slice(
+            a, (0, 0, i * chunk), (a.shape[0], a.shape[1], chunk))
+        sb = jax.lax.dynamic_slice(
+            b_, (0, 0, i * chunk), (b_.shape[0], b_.shape[1], chunk))
+        # elementwise + sum (see _gram_chunked_jit: the TPU f64 dot is
+        # ~4e-8-grade; elementwise f64 is exact)
+        return acc + jnp.sum(sa[:, :, None, :] * sb[:, None, :, :],
+                             axis=-1)
+
+    return jax.lax.fori_loop(
+        0, nch, body,
+        jnp.zeros((a.shape[0], a.shape[1], b_.shape[1]),
+                  jnp.result_type(a, b_)))
+
+
 def _gram_rows_b(a, b_):
-    """[B, k, dim] x [B, l, dim] -> [B, k, l] on device (the host einsum
-    at dim 2.6e5 x B=6 costs seconds per refine round in numpy)."""
-    return jnp.einsum("bkd,bld->bkl", a, b_,
-                      precision=jax.lax.Precision.HIGHEST)
+    """[B, k, dim] x [B, l, dim] -> [B, k, l] on device.  f64 inputs
+    reduce the minor axis in CHUNKS: the TPU f64-dot emulation
+    materialises the full [planes, B, k, l, d] product tensor for a
+    minor-axis contraction (reproduced 3.4 GB at B=10, k=l=10, d=1e6 —
+    the round-4 DMFT-bench OOM); chunking bounds the temp at ~2^23 f32
+    elements per plane.  f32 inputs take the direct MXU einsum."""
+    if a.dtype != jnp.float64 and b_.dtype != jnp.float64:
+        return jnp.einsum("bkd,bld->bkl", a, b_,
+                          precision=jax.lax.Precision.HIGHEST)
+    d = a.shape[2]
+    kl = a.shape[0] * a.shape[1] * b_.shape[1]
+    target = max(1 << 10, (1 << 21) // max(kl, 1))
+    nch = 1
+    while d // nch > target and d % (nch * 2) == 0:
+        nch *= 2
+    return _gram_rows_b_jit(a, b_, nch)
 
 
 @jax.jit
@@ -1269,6 +1323,25 @@ class _RefineStall:
         return self.n >= self.limit
 
 
+def _f64_dot_floor() -> float:
+    """Relative accuracy of the backend's f64 DOT path.  Exact (1e-15)
+    on CPU; ~4e-8 on the axon TPU tunnel — the terminal pins
+    --xla_allow_excess_precision=true (fast 3-pass f64 emulation) and
+    rejects per-compile overrides, so every f64 MATVEC carries ~4e-8
+    relative error there (measured; small reductions avoid it via the
+    elementwise chunked grams).  Any residual certified through f64
+    matvecs is floored accordingly.  Override: CDMFT_F64_DOT_FLOOR."""
+    import os
+    env = os.environ.get("CDMFT_F64_DOT_FLOOR")
+    if env:
+        return float(env)
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "cpu"
+    return 1e-7 if plat in ("tpu", "axon") else 1e-15
+
+
 def _mixed_vec_rtol(requested=None) -> float:
     """Acceptance tolerance for the mixed path's refined eigenVECTOR
     residual (relative).  The retained vectors feed the Green's-function
@@ -1285,7 +1358,9 @@ def _mixed_vec_rtol(requested=None) -> float:
     env = os.environ.get("CDMFT_MIXED_RTOL")
     if env:
         return float(env)
-    return float(requested) if requested else 1e-10
+    base = float(requested) if requested else 1e-10
+    # never certify below what the backend's f64 matvec can resolve
+    return max(base, _f64_dot_floor())
 
 
 
@@ -1587,7 +1662,8 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
                        maxiter: int = 512, tol: float = 1e-14,
                        v0: Optional[np.ndarray] = None,
                        seed: int = 8527, dtype=jnp.float64,
-                       op=None, device_vectors: bool = False) -> EighResult:
+                       op=None, device_vectors: bool = False,
+                       op16=None) -> EighResult:
     """Thick-restart Lanczos on the split-pair representation (TPU path).
     Same semantics as :func:`lanczos_eigh`; eigenvectors are returned as a
     host complex array [neigen, dim].
@@ -1619,9 +1695,11 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
     k = 0
     nmv = 0
     stall = _StallGuard()
+    coarse = op16 is not None
     while True:
         # one device call expands k -> ncv (latency-critical over a tunnel)
-        br, bi, crs, cis, betas_d = expand(opd, br, bi, k)
+        br, bi, crs, cis, betas_d = expand(op16 if coarse else opd,
+                                           br, bi, k)
         crs = np.asarray(crs)
         cis = np.asarray(cis)
         betas_np = np.asarray(betas_d)
@@ -1640,8 +1718,14 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
         resid = np.abs(last_beta * s[-1, :])
         rel = resid[:neigen] / np.maximum(np.abs(theta[:neigen]), 1.0)
         conv = rel <= tol
+        if coarse and (float(rel.max()) < 3e-3
+                       or stall.stalled(float(rel.max()))
+                       or nmv >= maxiter // 2):
+            coarse = False                    # bf16 stage done (see
+            stall = _StallGuard()             # lanczos_eigh_real)
+            conv = np.zeros_like(conv)
         if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
-                or stall.stalled(float(rel.max())):
+                or (not coarse and stall.stalled(float(rel.max()))):
             sr = jnp.asarray(np.ascontiguousarray(s[:, :neigen].real))
             si = jnp.asarray(np.ascontiguousarray(s[:, :neigen].imag))
             nr, ni = restart_basis(br, bi, sr, si)
@@ -1917,7 +2001,8 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
                        v0: Optional[np.ndarray] = None,
                        seed: int = 8527, op32=None,
                        op64=None, device_vectors: bool = False,
-                       vec_rtol: Optional[float] = None) -> EighResult:
+                       vec_rtol: Optional[float] = None,
+                       op16=None) -> EighResult:
     """Mixed-precision eigensolver: f32 thick-restart Lanczos for the
     Krylov iterations (MXU throughput), then an f64 Rayleigh-Ritz
     expansion refine certifying the retained eigenVECTORS at
@@ -1930,7 +2015,7 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
     res32 = lanczos_eigh_split(matvec_pair32, dim, neigen=neigen, ncv=ncv,
                                maxiter=maxiter, tol=f32_tol, v0=v0,
                                seed=seed, dtype=jnp.float32, op=op32,
-                               device_vectors=device_vectors)
+                               device_vectors=device_vectors, op16=op16)
     rtol = _mixed_vec_rtol(vec_rtol)
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_split_device(

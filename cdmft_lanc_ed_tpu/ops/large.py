@@ -49,6 +49,7 @@ from .split import op_is_real, _PAD_DIAG, embed_real, extract_real
 jax.config.update("jax_enable_x64", True)
 
 B = 128               # tile edge: MXU-native
+SUP = 8               # output-band height in tiles (Pallas band kernel)
 _PREC = jax.lax.Precision.HIGHEST
 
 
@@ -95,19 +96,26 @@ def block_factor_of(ell: EllMatrix, real: bool, dtype=np.float32
     tid = np.searchsorted(uniq, key)
     np.add.at(tiles, (tid, rows % B, cols % B),
               vals.real if real else vals)
-    # every row block must own >= 1 tile so the out block is initialised
-    missing = np.setdiff1d(np.arange(nb, dtype=np.int32), row_blk)
+    # every OUTPUT BAND (SUP row blocks) must own >= 1 tile so the band
+    # kernel initialises its out block
+    nb_sup = -(-nb // SUP)
+    missing = np.setdiff1d(np.arange(nb_sup, dtype=np.int32),
+                           row_blk // SUP)
     if len(missing):
-        row_blk = np.concatenate([row_blk, missing])
+        row_blk = np.concatenate([row_blk, missing * SUP])
         col_blk = np.concatenate([col_blk,
                                   np.zeros(len(missing), np.int32)])
         tiles = np.concatenate(
             [tiles, np.zeros((len(missing), B, B), tiles.dtype)])
-        order = np.argsort(row_blk, kind="stable")
-        row_blk, col_blk, tiles = row_blk[order], col_blk[order], \
-            tiles[order]
+    # band-major, column-minor ordering: within an output band, tiles
+    # sharing a column block run consecutively, so the Pallas pipeline
+    # re-DMAs the x block only on column changes (measured on the Ns=16
+    # factor: 1,483 tiles -> 569 x-DMAs per minor slice; the out band
+    # stays resident across the whole band run)
+    order = np.lexsort((row_blk, col_blk, row_blk // SUP))
+    row_blk, col_blk, tiles = row_blk[order], col_blk[order], tiles[order]
     first = np.zeros(len(row_blk), np.int32)
-    first[np.unique(row_blk, return_index=True)[1]] = 1
+    first[np.unique(row_blk // SUP, return_index=True)[1]] = 1
     if not real:
         tiles = tiles.astype(np.complex128)
     return BlockFactor(nb=nb, row_blk=row_blk.astype(np.int32),
@@ -209,27 +217,35 @@ def _padded_diag(op: SectorOperator, ddp: int, dup: int) -> np.ndarray:
 
 def to_device_large_real(op: SectorOperator, dtype=jnp.float32
                          ) -> LargeRealOp:
+    """``dtype=jnp.bfloat16`` stores only the TILES in bf16 (2x MXU MAC
+    rate, f32 accumulation in the kernel); the diagonal and Jx/Jp
+    amplitudes stay f32 — they are elementwise (cheap) and carry the
+    dominant energy scale."""
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    vdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
     fu = block_factor_of(op.h_up, real=True, dtype=np_dtype)
     fd = block_factor_of(op.h_dw, real=True, dtype=np_dtype)
     dup, ddp = fu.nb * B, fd.nb * B
     amp, us, ug, ds, dg = _nd_maps(op, dup, ddp)
     return LargeRealOp(
-        diag=jnp.asarray(_padded_diag(op, ddp, dup), dtype),
+        diag=jnp.asarray(_padded_diag(op, ddp, dup), vdt),
         dw_rb=jnp.asarray(fd.row_blk), dw_cb=jnp.asarray(fd.col_blk),
         dw_fs=jnp.asarray(fd.first), dw_tiles=jnp.asarray(fd.tiles, dtype),
         up_rb=jnp.asarray(fu.row_blk), up_cb=jnp.asarray(fu.col_blk),
         up_fs=jnp.asarray(fu.first), up_tiles=jnp.asarray(fu.tiles, dtype),
-        nd_amp=jnp.asarray(amp.real, dtype),
+        nd_amp=jnp.asarray(amp.real, vdt),
         nd_up_src=jnp.asarray(us), nd_up_sgn=jnp.asarray(ug),
         nd_dw_src=jnp.asarray(ds), nd_dw_sgn=jnp.asarray(dg))
 
 
 def to_device_large_pair(op: SectorOperator, dtype=jnp.float32
                          ) -> LargePairOp:
+    """``dtype=jnp.bfloat16``: bf16 tiles, f32 diagonal/amplitudes (see
+    :func:`to_device_large_real`)."""
     fu = block_factor_of(op.h_up, real=False)
     fd = block_factor_of(op.h_dw, real=False)
     dup, ddp = fu.nb * B, fd.nb * B
+    vdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
     amp, us, ug, ds, dg = _nd_maps(op, dup, ddp)
 
     def planes(t):
@@ -239,13 +255,13 @@ def to_device_large_pair(op: SectorOperator, dtype=jnp.float32
     dw_tr, dw_ti, dw_ts = planes(fd.tiles)
     up_tr, up_ti, up_ts = planes(fu.tiles)
     return LargePairOp(
-        diag=jnp.asarray(_padded_diag(op, ddp, dup), dtype),
+        diag=jnp.asarray(_padded_diag(op, ddp, dup), vdt),
         dw_rb=jnp.asarray(fd.row_blk), dw_cb=jnp.asarray(fd.col_blk),
         dw_fs=jnp.asarray(fd.first), dw_tr=dw_tr, dw_ti=dw_ti, dw_ts=dw_ts,
         up_rb=jnp.asarray(fu.row_blk), up_cb=jnp.asarray(fu.col_blk),
         up_fs=jnp.asarray(fu.first), up_tr=up_tr, up_ti=up_ti, up_ts=up_ts,
-        nd_amp_r=jnp.asarray(amp.real, dtype),
-        nd_amp_i=jnp.asarray(amp.imag, dtype),
+        nd_amp_r=jnp.asarray(amp.real, vdt),
+        nd_amp_i=jnp.asarray(amp.imag, vdt),
         nd_up_src=jnp.asarray(us), nd_up_sgn=jnp.asarray(ug),
         nd_dw_src=jnp.asarray(ds), nd_dw_sgn=jnp.asarray(dg))
 
@@ -294,42 +310,58 @@ def _blk_spmm_xla(rb, cb, tiles, x, nb_out: int, chunk: int = 512):
 # ---------------------------------------------------------------------------
 
 def _pallas_blk_spmm_call(rb, cb, fs, tiles, x, nb_out: int, tn: int):
+    """Band-output block-sparse SpMM: the out block spans SUP row blocks
+    ([SUP*B, tn]) and stays resident in VMEM across its whole band-major
+    tile run; tiles accumulate at a dynamic sublane offset (rb % SUP).
+    With the band-major/column-minor tile ordering the x block re-DMAs
+    only when the column block changes (~2.6 tiles share a column on the
+    Ns=16 factor) — per-step DMA was the binding constraint of the flat
+    kernel (256 KB x per 0.17 us of MXU work).  f32 output;
+    ``tiles``/``x`` may be bf16 (2x MXU MACs, f32 accumulation — the
+    coarse-stage operator of the two-stage Krylov scheme)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     t = tiles.shape[0]
     m_src, n = x.shape
     nj = n // tn
+    nb_sup = -(-nb_out // SUP)
+    band = (rb // SUP).astype(jnp.int32)
+    rbm = (rb % SUP).astype(jnp.int32)
 
-    def kernel(rb_ref, cb_ref, fs_ref, tile_ref, x_ref, o_ref):
+    def kernel(band_ref, rbm_ref, cb_ref, fs_ref, tile_ref, x_ref, o_ref):
         ti = pl.program_id(1)
 
         @pl.when(fs_ref[ti] == 1)
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        o_ref[:] += jnp.dot(tile_ref[0], x_ref[:],
-                            preferred_element_type=jnp.float32)
+        om = rbm_ref[ti] * B
+        acc = pl.load(o_ref, (pl.ds(om, B), slice(None)))
+        acc += jnp.dot(tile_ref[0], x_ref[:],
+                       preferred_element_type=jnp.float32)
+        pl.store(o_ref, (pl.ds(om, B), slice(None)), acc)
 
     # literal 0s in an index_map lower as i64 and fail Mosaic
     # legalization on this backend; derive them from the traced id
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nj, t),
         in_specs=[
-            pl.BlockSpec((1, B, B), lambda j, ti, rb_, cb_, fs_:
+            pl.BlockSpec((1, B, B), lambda j, ti, b_, m_, cb_, fs_:
                          (ti, ti - ti, ti - ti)),
-            pl.BlockSpec((B, tn), lambda j, ti, rb_, cb_, fs_:
+            pl.BlockSpec((B, tn), lambda j, ti, b_, m_, cb_, fs_:
                          (cb_[ti], j)),
         ],
-        out_specs=pl.BlockSpec((B, tn), lambda j, ti, rb_, cb_, fs_:
-                               (rb_[ti], j)),
+        out_specs=pl.BlockSpec((SUP * B, tn), lambda j, ti, b_, m_, cb_,
+                               fs_: (b_[ti], j)),
     )
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb_out * B, n), jnp.float32),
-    )(rb, cb, fs, tiles, x)
+        out_shape=jax.ShapeDtypeStruct((nb_sup * SUP * B, n), jnp.float32),
+    )(band, rbm, cb, fs, tiles, x)
+    return y[:nb_out * B] if nb_sup * SUP != nb_out else y
 
 
 _PALLAS_TN = 512
@@ -348,13 +380,22 @@ def pallas_blk_ok() -> bool:
             raise RuntimeError("disabled")
         if jax.devices()[0].platform not in ("tpu", "axon"):
             raise RuntimeError("not tpu")
-        rb = jnp.asarray(np.array([0, 1], np.int32))
-        cb = jnp.asarray(np.array([0, 1], np.int32))
-        fs = jnp.asarray(np.array([1, 1], np.int32))
-        tiles = jnp.asarray(np.eye(B, dtype=np.float32)[None].repeat(2, 0))
-        x = jnp.ones((2 * B, _PALLAS_TN), jnp.float32)
-        y = _pallas_blk_spmm_call(rb, cb, fs, tiles, x, 2, _PALLAS_TN)
-        ok = bool(np.allclose(np.asarray(y), np.asarray(x), atol=1e-5))
+        # two tiles in one output band (fs = first-of-band) + a third in
+        # a second band: probes the dynamic-offset accumulate AND the
+        # band-boundary zero-init
+        rb = jnp.asarray(np.array([0, 1, SUP], np.int32))
+        cb = jnp.asarray(np.array([0, 1, 0], np.int32))
+        fs = jnp.asarray(np.array([1, 0, 1], np.int32))
+        tiles = jnp.asarray(np.eye(B, dtype=np.float32)[None].repeat(3, 0))
+        x = jnp.asarray(
+            np.arange(2 * B * _PALLAS_TN, dtype=np.float32).reshape(
+                2 * B, _PALLAS_TN) / (B * _PALLAS_TN))
+        y = _pallas_blk_spmm_call(rb, cb, fs, tiles, x, SUP + 1,
+                                  _PALLAS_TN)
+        want = np.zeros(((SUP + 1) * B, _PALLAS_TN), np.float32)
+        want[:2 * B] = np.asarray(x)
+        want[SUP * B:(SUP + 1) * B] = np.asarray(x)[:B]
+        ok = bool(np.allclose(np.asarray(y), want, atol=1e-5))
     except Exception:
         ok = False
     _pallas_blk_ok_cache["ok"] = ok
@@ -362,16 +403,25 @@ def pallas_blk_ok() -> bool:
 
 
 def _blk_spmm(rb, cb, fs, tiles, x, nb_out: int):
-    """Dispatch: Pallas f32 kernel when probed OK (minor axis padded to
-    the kernel tile if needed), else the XLA path."""
+    """Dispatch: Pallas kernel (f32 tiles, or bf16 tiles with the x
+    operand cast to bf16 — f32 accumulation either way) when probed OK,
+    else the XLA path (which upcasts bf16 tiles to the x dtype)."""
     n = x.shape[1]
-    if (x.dtype == jnp.float32 and tiles.dtype == jnp.float32
+    bf16 = tiles.dtype == jnp.bfloat16
+    if ((x.dtype == jnp.float32 or bf16 and x.dtype == jnp.bfloat16)
+            and tiles.dtype in (jnp.float32, jnp.bfloat16)
             and n >= _PALLAS_TN and pallas_blk_ok()):
         npad = (-n) % _PALLAS_TN
         xp = jnp.pad(x, ((0, 0), (0, npad))) if npad else x
+        if bf16:
+            xp = xp.astype(jnp.bfloat16)
         y = _pallas_blk_spmm_call(rb, cb, fs, tiles, xp, nb_out,
                                   _PALLAS_TN)
         return y[:, :n] if npad else y
+    if bf16:
+        acc = x.dtype if x.dtype != jnp.bfloat16 else jnp.float32
+        return _blk_spmm_xla(rb, cb, tiles.astype(acc),
+                             x.astype(acc), nb_out)
     return _blk_spmm_xla(rb, cb, tiles, x, nb_out)
 
 

@@ -629,3 +629,52 @@ def test_device_resident_observables_no_host_transfer(tmp_path,
         assert abs(s_dev.energy.dust - s_ref.energy.dust) < 1e-6
         np.testing.assert_allclose(s_dev.cdm, s_ref.cdm, atol=1e-6)
         np.testing.assert_allclose(s_dev.spdm, s_ref.spdm, atol=1e-6)
+
+
+def test_bf16_tiles_matvec_and_two_stage_solve():
+    """bf16-tile operator: ~1e-2-accurate H·v (coarse stage of the
+    two-stage Krylov; 2x MXU MAC rate on TPU) and the two-stage mixed
+    solve still pins the f64 ground state (the f64 refine certifies the
+    retained vectors regardless of the coarse stage)."""
+    _, op = _hubbard_op(3, 3, nbath=2)
+    w_ref = np.linalg.eigvalsh(op.to_dense())
+    kit32 = large.build_real_padded_large(op, dtype=jnp.float32)
+    dev32, dim_p, embed, extract = kit32
+    dev16 = large.build_real_padded_large(op, dtype=jnp.bfloat16)[0]
+    assert dev16.dw_tiles.dtype == jnp.bfloat16
+    assert dev16.diag.dtype == jnp.float32      # diag stays f32
+    rng = np.random.default_rng(21)
+    v = embed(rng.normal(size=op.dim))
+    w32 = extract(np.asarray(
+        large.apply_large_real_flat(dev32, jnp.asarray(v, jnp.float32))))
+    w16 = extract(np.asarray(
+        large.apply_large_real_flat(dev16, jnp.asarray(v, jnp.float32))))
+    rel = np.linalg.norm(w16 - w32) / np.linalg.norm(w32)
+    assert rel < 3e-2, rel
+    kit64 = large.build_real_padded_large(op, dtype=jnp.float64)
+    v0 = embed(rng.normal(size=op.dim))
+    res = lanczos.lanczos_eigh_mixed_real(
+        large.apply_large_real_flat, large.apply_large_real_flat, dim_p,
+        neigen=1, ncv=30, maxiter=600, tol=1e-12, v0=v0,
+        op32=dev32, op64=kit64[0], op16=dev16, device_vectors=True)
+    np.testing.assert_allclose(float(res.eigenvalues[0]), w_ref[0],
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_bf16_pair_two_stage_solve():
+    """Complex twin: bf16 split-pair coarse stage + f32 + f64 refine."""
+    _, op = _hubbard_op(2, 2, nbath=1, complex_h=True)
+    w_ref = np.linalg.eigvalsh(op.to_dense())
+    dev32, _r, dim_p, embed, extract = large.build_pair_padded_large(
+        op, dtype=jnp.float32)
+    dev16 = large.build_pair_padded_large(op, dtype=jnp.bfloat16)[0]
+    dev64 = large.build_pair_padded_large(op, dtype=jnp.float64)[0]
+    assert dev16.dw_tr.dtype == jnp.bfloat16
+    rng = np.random.default_rng(22)
+    v0 = embed(rng.normal(size=op.dim) + 1j * rng.normal(size=op.dim))
+    res = lanczos.lanczos_eigh_mixed(
+        large.apply_large_pair_flat, large.apply_large_pair_flat, dim_p,
+        neigen=1, ncv=24, maxiter=600, tol=1e-12, v0=v0,
+        op32=dev32, op64=dev64, op16=dev16, device_vectors=True)
+    np.testing.assert_allclose(float(res.eigenvalues[0]), w_ref[0],
+                               rtol=1e-8, atol=1e-8)
