@@ -329,6 +329,13 @@ def _pallas_blk_spmm_call(rb, cb, fs, tiles, x, nb_out: int, tn: int):
     band = (rb // SUP).astype(jnp.int32)
     rbm = (rb % SUP).astype(jnp.int32)
 
+    # full f32 fidelity for f32 tiles (the MXU's default single-pass
+    # dot is bf16-grade — measured 1e-2 relative on f32 inputs, which
+    # silently capped the "f32" Krylov stage at ~1e-3 residuals);
+    # bf16 tiles take the native single pass — that IS the coarse stage
+    prec = (jax.lax.Precision.DEFAULT if tiles.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
     def kernel(band_ref, rbm_ref, cb_ref, fs_ref, tile_ref, x_ref, o_ref):
         ti = pl.program_id(1)
 
@@ -337,10 +344,9 @@ def _pallas_blk_spmm_call(rb, cb, fs, tiles, x, nb_out: int, tn: int):
             o_ref[:] = jnp.zeros_like(o_ref)
 
         om = rbm_ref[ti] * B
-        acc = pl.load(o_ref, (pl.ds(om, B), slice(None)))
-        acc += jnp.dot(tile_ref[0], x_ref[:],
-                       preferred_element_type=jnp.float32)
-        pl.store(o_ref, (pl.ds(om, B), slice(None)), acc)
+        o_ref[pl.ds(om, B), :] += jnp.dot(
+            tile_ref[0], x_ref[:], precision=prec,
+            preferred_element_type=jnp.float32)
 
     # literal 0s in an index_map lower as i64 and fail Mosaic
     # legalization on this backend; derive them from the traced id
