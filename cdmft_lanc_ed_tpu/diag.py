@@ -270,8 +270,9 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 split.apply_real_flat, dim_p,
                                 neigen=neigen_g, ncv=ncv_g,
                                 maxiter=maxiter_g,
-                                tol=cfg.lanc_tolerance, v0=v0_row,
-                                op=dev_i)
+                                tol=max(cfg.lanc_tolerance,
+                                        lanczos._f64_dot_floor()),
+                                v0=v0_row, op=dev_i)
 
                         res_list = lanczos.lanczos_eigh_mixed_real_batched(
                             split.apply_real_flat_batched,
@@ -310,8 +311,9 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 split.apply_pair_flat, dim_p,
                                 neigen=neigen_g, ncv=ncv_g,
                                 maxiter=maxiter_g,
-                                tol=cfg.lanc_tolerance, v0=v0_row,
-                                op=dev_i)
+                                tol=max(cfg.lanc_tolerance,
+                                        lanczos._f64_dot_floor()),
+                                v0=v0_row, op=dev_i)
 
                         res_list = \
                             lanczos.lanczos_eigh_mixed_split_batched(

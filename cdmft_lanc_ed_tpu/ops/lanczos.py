@@ -1095,7 +1095,8 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
         # semantics on the fallback path (ADVICE r3)
         v0_64 = np.asarray(vecs[0])
         res64 = lanczos_eigh_real(matvec_real64, dim, neigen=neigen,
-                                  ncv=ncv, maxiter=maxiter, tol=tol,
+                                  ncv=ncv, maxiter=maxiter,
+                                  tol=max(tol, _f64_dot_floor()),
                                   v0=v0_64, seed=seed, op=op64,
                                   device_vectors=device_vectors)
         return EighResult(res64.eigenvalues, res64.eigenvectors,
@@ -1339,7 +1340,9 @@ def _f64_dot_floor() -> float:
         plat = jax.devices()[0].platform
     except Exception:
         plat = "cpu"
-    return 1e-7 if plat in ("tpu", "axon") else 1e-15
+    # 4e-8 per dot, amplified by ||H||/|theta| in an explicit residual:
+    # 4e-7 is the empirically certifiable level on the tunnel backend
+    return 4e-7 if plat in ("tpu", "axon") else 1e-15
 
 
 def _mixed_vec_rtol(requested=None) -> float:
@@ -2036,7 +2039,8 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
         v0_64 = ((np.asarray(vecs[0][0]) + 1j * np.asarray(vecs[1][0]))
                  if device_vectors else vecs[0])
         res64 = lanczos_eigh_split(matvec_pair64, dim, neigen=neigen,
-                                   ncv=ncv, maxiter=maxiter, tol=tol,
+                                   ncv=ncv, maxiter=maxiter,
+                                   tol=max(tol, _f64_dot_floor()),
                                    v0=v0_64, seed=seed, op=op64,
                                    device_vectors=device_vectors)
         return EighResult(res64.eigenvalues, res64.eigenvectors,
