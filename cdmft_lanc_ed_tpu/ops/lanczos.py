@@ -475,6 +475,7 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
                        or nmv >= maxiter // 2):
             # bf16 resolution reached: hand the basis to the f32 stage
             coarse = False
+            op16 = None                       # free the coarse tiles
             stall = _StallGuard()
             conv = np.zeros_like(conv)        # bf16-grade, never accept
         if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
@@ -964,11 +965,16 @@ def _gram_pair_chunked(ar, ai, br, bi):
 
 
 def _refine_k_cap(dim: int, k0: int, ne: int, planes: int = 1) -> int:
-    """Subspace-size cap for the device-resident refines: q + w are
-    [k, dim] f64 each (x planes), budgeted to a fraction of the actual
-    device memory (legacy 2 GB on backends without memory stats)."""
+    """Subspace-size cap for the single-sector device-resident refines:
+    q + w are [k, dim] f64 each (x planes).  By refine time the Krylov
+    ops are freed (lanczos_eigh_mixed*), so half the device memory can
+    go to the expansion bases — at the Ns=16 flagship (1.34 GB per f64
+    plane) that buys the 1-2 expansion rounds that keep the solve off
+    the infeasible full-f64 fallback."""
     from ..utils.membudget import budget_bytes
-    budget = int(budget_bytes(0.125) / max(16 * planes * dim, 1))
+    # 0.25: the f64 operator (+ its emulation temps in the per-row
+    # matvecs) needs roughly as much headroom as one extra q/w row pair
+    budget = int(budget_bytes(0.25) / max(16 * planes * dim, 1))
     return max(k0, min(96, dim, budget))
 
 
@@ -1077,6 +1083,11 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
                               maxiter=maxiter, tol=f32_tol, v0=v0,
                               seed=seed, dtype=jnp.float32, op=op32,
                               device_vectors=device_vectors, op16=op16)
+    # free the Krylov-stage operators before the f64 refine: at Ns=16 the
+    # f32 diag alone is 668 MB and the refine adds q/w f64 planes + the
+    # f64 operator (callers should pass these without keeping their own
+    # references — e.g. the box-pop pattern in bench_large)
+    op32 = op16 = None
     rtol = _mixed_vec_rtol(vec_rtol)
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_real_device(
@@ -1092,10 +1103,14 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     if not ok:
         # full-f64 polish at the CALLER's tolerance (not the vector
         # acceptance rtol): cfg.lanc_tolerance keeps its ARPACK tol=0
-        # semantics on the fallback path (ADVICE r3)
+        # semantics on the fallback path (ADVICE r3).  ncv shrinks to
+        # what the f64 basis can afford (1.34 GB/row at Ns=16).
+        from ..utils.membudget import budget_bytes
+        ncv_fb = min(ncv, max(neigen + 2,
+                              int(budget_bytes(0.5) / (dim * 8)) - 1))
         v0_64 = np.asarray(vecs[0])
         res64 = lanczos_eigh_real(matvec_real64, dim, neigen=neigen,
-                                  ncv=ncv, maxiter=maxiter,
+                                  ncv=ncv_fb, maxiter=maxiter,
                                   tol=max(tol, _f64_dot_floor()),
                                   v0=v0_64, seed=seed, op=op64,
                                   device_vectors=device_vectors)
@@ -1725,7 +1740,8 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
                        or stall.stalled(float(rel.max()))
                        or nmv >= maxiter // 2):
             coarse = False                    # bf16 stage done (see
-            stall = _StallGuard()             # lanczos_eigh_real)
+            op16 = None                       # lanczos_eigh_real)
+            stall = _StallGuard()
             conv = np.zeros_like(conv)
         if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
                 or (not coarse and stall.stalled(float(rel.max()))):
@@ -2019,6 +2035,7 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
                                maxiter=maxiter, tol=f32_tol, v0=v0,
                                seed=seed, dtype=jnp.float32, op=op32,
                                device_vectors=device_vectors, op16=op16)
+    op32 = op16 = None          # see lanczos_eigh_mixed_real
     rtol = _mixed_vec_rtol(vec_rtol)
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_split_device(
@@ -2036,10 +2053,13 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
     # if insufficient (ADVICE r3: keep ARPACK tol=0 semantics)
     ok = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0))
     if not ok:
+        from ..utils.membudget import budget_bytes
+        ncv_fb = min(ncv, max(neigen + 2,
+                              int(budget_bytes(0.5) / (dim * 16)) - 1))
         v0_64 = ((np.asarray(vecs[0][0]) + 1j * np.asarray(vecs[1][0]))
                  if device_vectors else vecs[0])
         res64 = lanczos_eigh_split(matvec_pair64, dim, neigen=neigen,
-                                   ncv=ncv, maxiter=maxiter,
+                                   ncv=ncv_fb, maxiter=maxiter,
                                    tol=max(tol, _f64_dot_floor()),
                                    v0=v0_64, seed=seed, op=op64,
                                    device_vectors=device_vectors)

@@ -215,17 +215,30 @@ def _padded_diag(op: SectorOperator, ddp: int, dup: int) -> np.ndarray:
     return d
 
 
-def to_device_large_real(op: SectorOperator, dtype=jnp.float32
-                         ) -> LargeRealOp:
+def to_device_large_real(op: SectorOperator, dtype=jnp.float32,
+                         reuse: "LargeRealOp" = None) -> LargeRealOp:
     """``dtype=jnp.bfloat16`` stores only the TILES in bf16 (2x MXU MAC
     rate, f32 accumulation in the kernel); the diagonal and Jx/Jp
     amplitudes stay f32 — they are elementwise (cheap) and carry the
-    dominant energy scale."""
+    dominant energy scale.  ``reuse`` shares the diagonal, index and
+    nd arrays of an existing same-shape device op (the padded diagonal
+    alone is 668 MB at Ns=16 — duplicating it for the bf16 coarse build
+    tipped the solve over HBM)."""
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     vdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
     fu = block_factor_of(op.h_up, real=True, dtype=np_dtype)
     fd = block_factor_of(op.h_dw, real=True, dtype=np_dtype)
     dup, ddp = fu.nb * B, fd.nb * B
+    if reuse is not None:
+        return LargeRealOp(
+            diag=reuse.diag,
+            dw_rb=reuse.dw_rb, dw_cb=reuse.dw_cb, dw_fs=reuse.dw_fs,
+            dw_tiles=jnp.asarray(fd.tiles, dtype),
+            up_rb=reuse.up_rb, up_cb=reuse.up_cb, up_fs=reuse.up_fs,
+            up_tiles=jnp.asarray(fu.tiles, dtype),
+            nd_amp=reuse.nd_amp,
+            nd_up_src=reuse.nd_up_src, nd_up_sgn=reuse.nd_up_sgn,
+            nd_dw_src=reuse.nd_dw_src, nd_dw_sgn=reuse.nd_dw_sgn)
     amp, us, ug, ds, dg = _nd_maps(op, dup, ddp)
     return LargeRealOp(
         diag=jnp.asarray(_padded_diag(op, ddp, dup), vdt),
@@ -238,15 +251,15 @@ def to_device_large_real(op: SectorOperator, dtype=jnp.float32
         nd_dw_src=jnp.asarray(ds), nd_dw_sgn=jnp.asarray(dg))
 
 
-def to_device_large_pair(op: SectorOperator, dtype=jnp.float32
-                         ) -> LargePairOp:
-    """``dtype=jnp.bfloat16``: bf16 tiles, f32 diagonal/amplitudes (see
-    :func:`to_device_large_real`)."""
+def to_device_large_pair(op: SectorOperator, dtype=jnp.float32,
+                         reuse: "LargePairOp" = None) -> LargePairOp:
+    """``dtype=jnp.bfloat16``: bf16 tiles, f32 diagonal/amplitudes;
+    ``reuse`` shares the non-tile arrays of an existing same-shape
+    device op (see :func:`to_device_large_real`)."""
     fu = block_factor_of(op.h_up, real=False)
     fd = block_factor_of(op.h_dw, real=False)
     dup, ddp = fu.nb * B, fd.nb * B
     vdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
-    amp, us, ug, ds, dg = _nd_maps(op, dup, ddp)
 
     def planes(t):
         return (jnp.asarray(t.real, dtype), jnp.asarray(t.imag, dtype),
@@ -254,6 +267,17 @@ def to_device_large_pair(op: SectorOperator, dtype=jnp.float32
 
     dw_tr, dw_ti, dw_ts = planes(fd.tiles)
     up_tr, up_ti, up_ts = planes(fu.tiles)
+    if reuse is not None:
+        return LargePairOp(
+            diag=reuse.diag,
+            dw_rb=reuse.dw_rb, dw_cb=reuse.dw_cb, dw_fs=reuse.dw_fs,
+            dw_tr=dw_tr, dw_ti=dw_ti, dw_ts=dw_ts,
+            up_rb=reuse.up_rb, up_cb=reuse.up_cb, up_fs=reuse.up_fs,
+            up_tr=up_tr, up_ti=up_ti, up_ts=up_ts,
+            nd_amp_r=reuse.nd_amp_r, nd_amp_i=reuse.nd_amp_i,
+            nd_up_src=reuse.nd_up_src, nd_up_sgn=reuse.nd_up_sgn,
+            nd_dw_src=reuse.nd_dw_src, nd_dw_sgn=reuse.nd_dw_sgn)
+    amp, us, ug, ds, dg = _nd_maps(op, dup, ddp)
     return LargePairOp(
         diag=jnp.asarray(_padded_diag(op, ddp, dup), vdt),
         dw_rb=jnp.asarray(fd.row_blk), dw_cb=jnp.asarray(fd.col_blk),
@@ -270,7 +294,7 @@ def to_device_large_pair(op: SectorOperator, dtype=jnp.float32
 # XLA block-sparse SpMM (fallback + f64 path + CPU tests)
 # ---------------------------------------------------------------------------
 
-def _blk_spmm_xla(rb, cb, tiles, x, nb_out: int, chunk: int = 512):
+def _blk_spmm_xla(rb, cb, tiles, x, nb_out: int, chunk: int = None):
     """y[nb_out*B, N] = Sum_t scatter(rb[t]) tiles[t] @ x[cb[t]*B:..., :].
 
     Gather granularity is a full [B, chunk] row-block slice; the per-row-
@@ -278,6 +302,10 @@ def _blk_spmm_xla(rb, cb, tiles, x, nb_out: int, chunk: int = 512):
     m_src, n = x.shape
     nb_src = m_src // B
     t = tiles.shape[0]
+    if chunk is None:
+        # f64 gathers materialise [T, B, chunk] hi/lo emulation temps:
+        # halve the chunk so they stay ~1 GB at the Ns=16 tile count
+        chunk = 128 if tiles.dtype == jnp.float64 else 512
     # segment boundaries: tiles sorted by rb
     seg = jax.nn.one_hot(rb, nb_out, dtype=tiles.dtype)   # [T, nb_out]
 
@@ -533,11 +561,12 @@ def _extract_any(v, dd, du, ddp, dup):
     return extract_real(v, dd, du, ddp, dup)
 
 
-def build_real_padded_large(op: SectorOperator, dtype=jnp.float32):
+def build_real_padded_large(op: SectorOperator, dtype=jnp.float32,
+                            reuse=None):
     """(dev, dim_p, embed, extract) or None when the operator is complex."""
     if not op_is_real(op):
         return None
-    dev = to_device_large_real(op, dtype=dtype)
+    dev = to_device_large_real(op, dtype=dtype, reuse=reuse)
     ddp, dup = dev.diag.shape
     dd, du = op.dim_dw, op.dim_up
 
@@ -550,15 +579,16 @@ def build_real_padded_large(op: SectorOperator, dtype=jnp.float32):
     return dev, ddp * dup, embed, extract
 
 
-def build_pair_padded_large(op: SectorOperator, dtype=jnp.float32):
+def build_pair_padded_large(op: SectorOperator, dtype=jnp.float32,
+                            reuse=None):
     """(dev, real_flag, dim_p, embed, extract): real_flag mirrors
     split.build_pair_padded (a real op still gets the pair applier via the
     one-plane kernel on each plane)."""
     real = op_is_real(op)
     if real:
-        dev = to_device_large_real(op, dtype=dtype)
+        dev = to_device_large_real(op, dtype=dtype, reuse=reuse)
     else:
-        dev = to_device_large_pair(op, dtype=dtype)
+        dev = to_device_large_pair(op, dtype=dtype, reuse=reuse)
     ddp, dup = dev.diag.shape
     dd, du = op.dim_dw, op.dim_up
 
