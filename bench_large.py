@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--solve", action="store_true",
                     help="run a full mixed-precision ground-state solve "
                          "of the Ns=16 sector (time-to-solution)")
+    ap.add_argument("--solve-f32", action="store_true",
+                    help="record the two-stage bf16+f32 solve directly "
+                         "(the f64 refine at Ns=16 needs multi-chip; "
+                         "in-process OOM recovery is unreliable on the "
+                         "tunnel runtime)")
     ap.add_argument("--ncv", type=int, default=10)
     ap.add_argument("--maxiter", type=int, default=120)
     args = ap.parse_args()
@@ -43,7 +48,7 @@ def main():
     t0 = time.time()
     _, op = ge._plaquette_bath_op(nbath=3, nup=8, ndw=8)   # Ns=16
 
-    if args.solve:
+    if args.solve or args.solve_f32:
         from cdmft_lanc_ed_tpu.ops import lanczos
         kit32 = large.build_real_padded_large(op, dtype=jnp.float32)
         dev32, dim_p, embed, extract = kit32
@@ -80,8 +85,10 @@ def main():
         box = [dev32, dev16]
         del kit32, dev32, dev16
         prec_note = "bf16+f32 Krylov, f64-refined"
-        oom = False
+        oom = bool(args.solve_f32)
         try:
+            if oom:
+                raise RuntimeError("RESOURCE (requested --solve-f32)")
             res = lanczos.lanczos_eigh_mixed_real(
                 large.apply_large_real_flat, mv64,
                 dim_p, neigen=1, ncv=args.ncv, maxiter=args.maxiter,
