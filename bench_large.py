@@ -59,10 +59,13 @@ def main():
         _c = {}
 
         def mv64(x):
+            # memory-lean chunked f64 apply: the eager formulation held
+            # 4-6 full f64 planes in transposes/stacked maps and pushed
+            # the refine over 16 GB at dim 1.66e8
             if "op" not in _c:
                 _c["op"] = large.build_real_padded_large(
                     op, dtype=jnp.float64)[0]
-            return large.apply_large_real_flat(_c["op"], x)
+            return large.apply_large_real_flat_lowmem(_c["op"], x)
 
         rng = np.random.default_rng(0)
         ddp, dup = dev32.diag.shape
@@ -97,6 +100,13 @@ def main():
         except Exception as e:
             if "RESOURCE" not in repr(e):
                 raise
+            import traceback
+            print("# f64-refined attempt OOM at:", file=sys.stderr)
+            for ln in traceback.format_exception(e):
+                if "/root/repo" in ln:
+                    print("#   " + ln.strip().splitlines()[0],
+                          file=sys.stderr)
+            sys.stderr.flush()
             oom = True
         if oom:
             # the f64 refine at dim 1.7e8 needs the f64 operator + its

@@ -512,7 +512,7 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             # restarts (~2x MXU MAC rate), f32 below
                             # bf16 resolution, f64 refine certifies
                             dev16 = large.build_real_padded_large(
-                                op, dtype=jnp.bfloat16)[0]
+                                op, dtype=jnp.bfloat16, reuse=dev32)[0]
                             res = lanczos.lanczos_eigh_mixed_real(
                                 large.apply_large_real_flat,
                                 large.apply_large_real_flat, dim_p,
@@ -539,7 +539,7 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             dev32 = large.build_pair_padded_large(
                                 op, dtype=jnp.float32)[0]
                             dev16 = large.build_pair_padded_large(
-                                op, dtype=jnp.bfloat16)[0]
+                                op, dtype=jnp.bfloat16, reuse=dev32)[0]
                             res = lanczos.lanczos_eigh_mixed(
                                 large.apply_large_pair_flat,
                                 large.apply_large_pair_flat, dim_p,

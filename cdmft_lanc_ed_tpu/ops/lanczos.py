@@ -973,9 +973,12 @@ def _refine_k_cap(dim: int, k0: int, ne: int, planes: int = 1) -> int:
     the infeasible full-f64 fallback."""
     from ..utils.membudget import budget_bytes
     # 0.25: the f64 operator (+ its emulation temps in the per-row
-    # matvecs) needs roughly as much headroom as one extra q/w row pair
+    # matvecs) needs roughly as much headroom as one extra q/w row pair.
+    # Floor at k0+ne: with kalloc == k0 == ne the Rayleigh-Ritz pass has
+    # no subspace to rotate (a 1-vector RR is just the Rayleigh
+    # quotient) and the refine can NEVER improve the residual.
     budget = int(budget_bytes(0.25) / max(16 * planes * dim, 1))
-    return max(k0, min(96, dim, budget))
+    return min(96, dim, max(k0 + ne, budget))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -1107,7 +1110,7 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
         # what the f64 basis can afford (1.34 GB/row at Ns=16).
         from ..utils.membudget import budget_bytes
         ncv_fb = min(ncv, max(neigen + 2,
-                              int(budget_bytes(0.5) / (dim * 8)) - 1))
+                              int(budget_bytes(0.33) / (dim * 8)) - 1))
         v0_64 = np.asarray(vecs[0])
         res64 = lanczos_eigh_real(matvec_real64, dim, neigen=neigen,
                                   ncv=ncv_fb, maxiter=maxiter,
@@ -2055,7 +2058,7 @@ def lanczos_eigh_mixed(matvec_pair32, matvec_pair64, dim: int, neigen: int,
     if not ok:
         from ..utils.membudget import budget_bytes
         ncv_fb = min(ncv, max(neigen + 2,
-                              int(budget_bytes(0.5) / (dim * 16)) - 1))
+                              int(budget_bytes(0.33) / (dim * 16)) - 1))
         v0_64 = ((np.asarray(vecs[0][0]) + 1j * np.asarray(vecs[1][0]))
                  if device_vectors else vecs[0])
         res64 = lanczos_eigh_split(matvec_pair64, dim, neigen=neigen,

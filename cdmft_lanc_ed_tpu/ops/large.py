@@ -526,6 +526,59 @@ def matvec_large_pair(op: LargePairOp, xr: jax.Array, xi: jax.Array):
     return out_r, out_i
 
 
+@functools.partial(jax.jit, static_argnames=("nch",))
+def _matvec_large_real_lowmem_jit(diag, dw_rb, dw_cb, dw_tiles, up_rb,
+                                  up_cb, up_tiles, x, nch: int):
+    ddp, dup = x.shape
+    nb_d, nb_u = ddp // B, dup // B
+    cw = dup // nch                   # dw-side column chunk
+    rw = ddp // nch                   # up-side row chunk
+    out = diag * x
+
+    def dw_body(i, acc):
+        xc = jax.lax.dynamic_slice(x, (0, i * cw), (ddp, cw))
+        yc = _blk_spmm_xla(dw_rb, dw_cb, dw_tiles, xc, nb_d)
+        upd = jax.lax.dynamic_slice(acc, (0, i * cw), (ddp, cw)) + yc
+        return jax.lax.dynamic_update_slice(acc, upd, (0, i * cw))
+
+    out = jax.lax.fori_loop(0, nch, dw_body, out)
+
+    def up_body(i, acc):
+        xr = jax.lax.dynamic_slice(x, (i * rw, 0), (rw, dup))
+        yr = _blk_spmm_xla(up_rb, up_cb, up_tiles, xr.T, nb_u).T
+        upd = jax.lax.dynamic_slice(acc, (i * rw, 0), (rw, dup)) + yr
+        return jax.lax.dynamic_update_slice(acc, upd, (i * rw, 0))
+
+    return jax.lax.fori_loop(0, nch, up_body, out)
+
+
+def matvec_large_real_lowmem(op: LargeRealOp, x: jax.Array,
+                             nch: int = None) -> jax.Array:
+    """Memory-lean H·x for a REAL large-sector H (no Jx/Jp terms): the
+    two block-sparse sides run in column/row chunks inside one jit, so
+    peak extra memory is O(dim/nch) instead of several full-plane temps
+    — the lever that lets the f64 refine matvec fit one 16 GB chip at
+    Ns=16 (each full f64 plane is 1.34 GB and the eager formulation's
+    transposes/stacked maps held 4-6 of them)."""
+    assert op.nd_amp.shape[0] == 0, "lowmem path: no Jx/Jp terms"
+    ddp, dup = x.shape
+    if nch is None:
+        nch = 1
+        # chunk so a [T, B, chunk] f64 gather temp stays ~0.5 GB
+        t = max(op.dw_tiles.shape[0], op.up_tiles.shape[0])
+        while (max(ddp, dup) // nch) * t * B * 8 > 5e8 \
+                and max(ddp, dup) % (nch * 2) == 0:
+            nch *= 2
+    return _matvec_large_real_lowmem_jit(
+        op.diag, op.dw_rb, op.dw_cb, op.dw_tiles, op.up_rb, op.up_cb,
+        op.up_tiles, x, nch)
+
+
+def apply_large_real_flat_lowmem(dev: LargeRealOp, x: jax.Array):
+    return matvec_large_real_lowmem(dev, x.reshape(dev.diag.shape)) \
+        .reshape(-1)
+
+
 # -- flat pure appliers (operator passed as pytree argument) ---------------
 
 def apply_large_real_flat(dev: LargeRealOp, x: jax.Array) -> jax.Array:

@@ -678,3 +678,22 @@ def test_bf16_pair_two_stage_solve():
         op32=dev32, op64=dev64, op16=dev16, device_vectors=True)
     np.testing.assert_allclose(float(res.eigenvalues[0]), w_ref[0],
                                rtol=1e-8, atol=1e-8)
+
+
+def test_lowmem_matvec_matches_oracle():
+    """Memory-lean chunked f64 apply == oracle == standard apply (the
+    Ns=16 f64-refine matvec path; peak extra memory O(dim/nch))."""
+    _, op = _hubbard_op(3, 3, nbath=2)
+    kit = large.build_real_padded_large(op, dtype=jnp.float64)
+    dev, dim_p, embed, extract = kit
+    rng = np.random.default_rng(31)
+    v = rng.normal(size=op.dim)
+    w_ref = op.matvec_np(v.astype(np.complex128)).real
+    for nch in (1, 2, 4):
+        w = extract(np.asarray(large.matvec_large_real_lowmem(
+            dev, jnp.asarray(embed(v)).reshape(dev.diag.shape),
+            nch=nch).reshape(-1)))
+        np.testing.assert_allclose(w, w_ref, rtol=1e-12, atol=1e-12)
+    w_auto = extract(np.asarray(
+        large.apply_large_real_flat_lowmem(dev, jnp.asarray(embed(v)))))
+    np.testing.assert_allclose(w_auto, w_ref, rtol=1e-12, atol=1e-12)
