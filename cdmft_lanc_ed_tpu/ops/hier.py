@@ -1,0 +1,235 @@
+"""Hierarchical (A/B-half) Kronecker factorisation of a spin-hop factor.
+
+The block-sparse tile kernel (ops/large.py) pays for the combinadic
+ordering's scattered one-hop structure: 128x128 tiles on the Ns=16
+factor are 0.45% occupied, so ~99.5% of the MXU work (and the per-tile
+x DMA) is padding.  This module factors the SAME one-body operator
+exactly, with dense MXU-sized blocks and occupancy-proportional FLOPs:
+
+split the Ns levels into half A (low ``ha`` bits) and half B; order the
+sector states by (nA, rankA, rankB) so each particle-split block is the
+full product [C(ha,nA) x C(ns-ha,n-nA)].  A one-body operator then
+decomposes EXACTLY into
+
+* A-internal hops:  block-diagonal  H_A^{(nA)} (x) I_B    (dense <=70x70)
+* B-internal hops:  block-diagonal  I_A (x) H_B^{(nB)}
+* cross hops a in A, b in B:  block-superdiagonal
+      (-1)^{nA} . S+_A[a,nA] (x) S-_B[b,nB]   (nA -> nA+1)
+  and the adjoint direction for a in B, b in A — the fermionic string
+  splits into the in-half parities plus the (-1)^{nA} block scalar
+  because every A level lies below every B level.
+
+Applying the factor to the [dim, minor] sector view is then a chain of
+SMALL DENSE matmuls over [CA, CB, minor] blocks — FLOPs proportional to
+sum_nA CA^2 CB + CB^2 CA + cross terms (measured ~25x below the tile
+kernel's padded FLOPs at Ns=16) with x read O(#term-classes) times.
+
+Round-4 prototype: real amplitudes, correctness-tested vs the ELL
+factor on CPU; the Pallas/device scheduling of the block chain is the
+designed round-5 kernel.  Reference analog: the stored-CSR factor this
+re-expresses is ED_HAMILTONIAN/sparse/H_up.f90 (the reference never
+exploits the product structure inside a spin factor).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..utils import fock
+
+
+@dataclass
+class HierFactor:
+    """One spin factor in hierarchical block form (host arrays)."""
+    ns: int
+    n: int
+    ha: int
+    dim: int
+    # block layout: for nA in valid range, states are
+    # [offset[nA] : offset[nA] + CA[nA]*CB[nA]] viewed [CA, CB]
+    n_a_vals: np.ndarray        # valid nA values (ascending)
+    offsets: np.ndarray
+    ca: np.ndarray
+    cb: np.ndarray
+    perm: np.ndarray            # combinadic rank -> hierarchical rank
+    ha_ops: list                # per-block [CA, CA] (A-internal, or None)
+    hb_ops: list                # per-block [CB, CB] (B-internal, or None)
+    # cross transitions nA -> nA+1: list over blocks of lists of
+    # (sa [CA', CA], sb [CB', CB], scale) with the (-1)^{nA} folded in
+    up_cross: list
+    # transitions nA -> nA-1 (adjoint direction, built independently)
+    dn_cross: list
+
+
+def _rank_map(states: np.ndarray):
+    return {int(s): i for i, s in enumerate(states)}
+
+
+def _create_op(states_from: np.ndarray, states_to: np.ndarray, lvl: int):
+    """Dense matrix of c^+_lvl between sub-half sectors, with the
+    IN-HALF fermionic parity."""
+    out = np.zeros((len(states_to), len(states_from)))
+    to_rank = _rank_map(states_to)
+    for j, s in enumerate(states_from):
+        s = int(s)
+        if (s >> lvl) & 1:
+            continue
+        sgn = fock.parity_below(np.array([s], dtype=np.int64), lvl)[0]
+        out[to_rank[s | (1 << lvl)], j] = float(sgn)
+    return out
+
+
+def _destroy_op(states_from: np.ndarray, states_to: np.ndarray, lvl: int):
+    out = np.zeros((len(states_to), len(states_from)))
+    to_rank = _rank_map(states_to)
+    for j, s in enumerate(states_from):
+        s = int(s)
+        if not (s >> lvl) & 1:
+            continue
+        sgn = fock.parity_below(np.array([s], dtype=np.int64), lvl)[0]
+        out[to_rank[s & ~(1 << lvl)], j] = float(sgn)
+    return out
+
+
+def _half_hop_op(states: np.ndarray, a: int, b: int, amp: float):
+    """Dense amp * c^+_a c_b within one half-sector."""
+    out = np.zeros((len(states), len(states)))
+    rows, cols, signs = fock.hop_entries(np.asarray(states, np.int64), a, b)
+    out[rows, cols] = amp * signs
+    return out
+
+
+def build_hier_factor(ns: int, n: int,
+                      terms: Sequence[Tuple[int, int, complex]],
+                      ha: int = None) -> HierFactor:
+    """Hierarchical factorisation of sum amp c^+_a c_b on the (ns, n)
+    combinadic sector.  ``terms`` as produced by
+    sector_ham._one_body_terms (REAL amplitudes for this prototype)."""
+    if ha is None:
+        ha = ns // 2
+    hb = ns - ha
+    mask_a = (1 << ha) - 1
+
+    states = np.asarray(fock.sector_states(ns, n), np.int64)
+    s_a = states & mask_a
+    s_b = states >> ha
+    n_a = np.array([bin(int(x)).count("1") for x in s_a])
+
+    n_a_vals = np.array(sorted(set(int(x) for x in n_a)))
+    states_a = {k: np.asarray(fock.sector_states(ha, k), np.int64)
+                for k in range(max(n_a_vals) + 2) if k <= ha}
+    states_b = {m: np.asarray(fock.sector_states(hb, m), np.int64)
+                for m in range(n + 1) if m <= hb}
+
+    ca = np.array([len(states_a[k]) for k in n_a_vals])
+    cb = np.array([len(states_b[n - k]) for k in n_a_vals])
+    offsets = np.concatenate([[0], np.cumsum(ca * cb)])[:-1]
+    dim = int((ca * cb).sum())
+    assert dim == len(states)
+
+    # permutation: combinadic rank -> (nA, rankA, rankB) hierarchical rank
+    blk_of = {int(k): i for i, k in enumerate(n_a_vals)}
+    perm = np.empty(len(states), np.int64)
+    for i in range(len(states)):
+        k = int(n_a[i])
+        bi = blk_of[k]
+        ra = int(np.searchsorted(states_a[k], s_a[i]))
+        rb = int(np.searchsorted(states_b[n - k], s_b[i]))
+        perm[i] = offsets[bi] + ra * cb[bi] + rb
+
+    nblk = len(n_a_vals)
+    ha_ops = [None] * nblk
+    hb_ops = [None] * nblk
+    up_cross = [[] for _ in range(nblk)]
+    dn_cross = [[] for _ in range(nblk)]
+
+    for (a, b, amp) in terms:
+        amp = complex(amp)
+        assert abs(amp.imag) < 1e-14, "hier prototype: real amps only"
+        amp = amp.real
+        if a < ha and b < ha:
+            for bi, k in enumerate(n_a_vals):
+                op = _half_hop_op(states_a[k], a, b, amp)
+                ha_ops[bi] = op if ha_ops[bi] is None else ha_ops[bi] + op
+        elif a >= ha and b >= ha:
+            for bi, k in enumerate(n_a_vals):
+                m = n - k
+                op = _half_hop_op(states_b[m], a - ha, b - ha, amp)
+                hb_ops[bi] = op if hb_ops[bi] is None else hb_ops[bi] + op
+        elif a < ha:                      # create in A, destroy in B
+            for bi, k in enumerate(n_a_vals):
+                if bi + 1 >= nblk or n_a_vals[bi + 1] != k + 1:
+                    continue
+                m = n - k
+                if m == 0 or k + 1 > ha:
+                    continue
+                sa = _create_op(states_a[k], states_a[k + 1], a)
+                sb = _destroy_op(states_b[m], states_b[m - 1], b - ha)
+                up_cross[bi].append((sa, sb, amp * float((-1) ** k)))
+        else:                             # destroy in A, create in B
+            for bi, k in enumerate(n_a_vals):
+                if bi == 0 or n_a_vals[bi - 1] != k - 1:
+                    continue
+                m = n - k
+                if k == 0 or m + 1 > hb:
+                    continue
+                sa = _destroy_op(states_a[k], states_a[k - 1], b)
+                sb = _create_op(states_b[m], states_b[m + 1], a - ha)
+                # c^+_a c_b, a in B, b in A: string = (-1)^{pb_A} from
+                # c_b, then (-1)^{(nA-1) + pa_B} from c^+_a on the
+                # nA-1-particle A prefix
+                dn_cross[bi].append((sa, sb, amp * float((-1) ** (k - 1))))
+    return HierFactor(ns=ns, n=n, ha=ha, dim=dim, n_a_vals=n_a_vals,
+                      offsets=offsets, ca=ca, cb=cb, perm=perm,
+                      ha_ops=ha_ops, hb_ops=hb_ops, up_cross=up_cross,
+                      dn_cross=dn_cross)
+
+
+def matvec_hier_np(f: HierFactor, x: np.ndarray) -> np.ndarray:
+    """y = H @ x in HIERARCHICAL ordering (x [dim] or [dim, minor]).
+    NumPy reference implementation of the dense block chain."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    minor = x.shape[1]
+    y = np.zeros_like(x)
+
+    def blk(i, arr):
+        seg = arr[f.offsets[i]: f.offsets[i] + f.ca[i] * f.cb[i]]
+        return seg.reshape(f.ca[i], f.cb[i], minor)
+
+    for i in range(len(f.n_a_vals)):
+        xb = blk(i, x)
+        yb = blk(i, y)
+        if f.ha_ops[i] is not None:
+            yb += np.einsum("pa,abm->pbm", f.ha_ops[i], xb)
+        if f.hb_ops[i] is not None:
+            yb += np.einsum("qb,abm->aqm", f.hb_ops[i], xb)
+        for (sa, sb, scale) in f.up_cross[i]:
+            t = np.einsum("pa,abm->pbm", sa, xb)
+            blk(i + 1, y)[...] += scale * np.einsum("qb,pbm->pqm", sb, t)
+        for (sa, sb, scale) in f.dn_cross[i]:
+            t = np.einsum("pa,abm->pbm", sa, xb)
+            blk(i - 1, y)[...] += scale * np.einsum("qb,pbm->pqm", sb, t)
+    return y[:, 0] if squeeze else y
+
+
+def flops_per_minor(f: HierFactor) -> int:
+    """MAC count of the dense block chain per minor column — the
+    apples-to-apples comparison against the tile kernel's padded
+    tiles * B^2 (the headline of this formulation)."""
+    total = 0
+    for i in range(len(f.n_a_vals)):
+        if f.ha_ops[i] is not None:
+            total += f.ca[i] * f.ca[i] * f.cb[i]
+        if f.hb_ops[i] is not None:
+            total += f.cb[i] * f.cb[i] * f.ca[i]
+        for (sa, sb, _) in f.up_cross[i]:
+            total += sa.shape[0] * sa.shape[1] * f.cb[i] \
+                + sb.shape[0] * sb.shape[1] * sa.shape[0]
+        for (sa, sb, _) in f.dn_cross[i]:
+            total += sa.shape[0] * sa.shape[1] * f.cb[i] \
+                + sb.shape[0] * sb.shape[1] * sa.shape[0]
+    return int(total)
