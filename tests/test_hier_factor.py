@@ -61,7 +61,7 @@ def test_hier_flop_accounting_ns16():
     0.11M), because the 16 hybridisation cross hops are
     permutation-sparse but dense-block in this algebra.  The real
     headroom is (a) gather-form cross terms (drops FLOPs to the
-    within-half 3.8M) and (b) the block-tridiagonal schedule reading x
+    within-half 0.74M) and (b) the block-tridiagonal schedule reading x
     once — a fused-kernel target of ~3-13 ms/apply vs the measured
     46 ms."""
     cfg, hloc, hrec, dhyb, terms = _plaquette_terms(3)   # Ns=16
