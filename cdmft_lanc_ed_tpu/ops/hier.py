@@ -216,6 +216,66 @@ def matvec_hier_np(f: HierFactor, x: np.ndarray) -> np.ndarray:
     return y[:, 0] if squeeze else y
 
 
+def device_blocks(f: HierFactor):
+    """Device (jnp) arrays for :func:`matvec_hier_jnp`: per-block dense
+    ops + the padded cross lists.  Blocks stay ragged (a list per nA) —
+    the chain is a handful of small matmuls, so per-block dispatch is
+    fine for the prototype; the round-5 kernel fuses them."""
+    import jax.numpy as jnp
+
+    def dev(a):
+        return None if a is None else jnp.asarray(a)
+
+    return {
+        "ha": [dev(o) for o in f.ha_ops],
+        "hb": [dev(o) for o in f.hb_ops],
+        "up": [[(dev(sa), dev(sb), float(sc)) for (sa, sb, sc) in lst]
+               for lst in f.up_cross],
+        "dn": [[(dev(sa), dev(sb), float(sc)) for (sa, sb, sc) in lst]
+               for lst in f.dn_cross],
+    }
+
+
+def matvec_hier_jnp(f: HierFactor, dev_blocks, x):
+    """y = H @ x on device, HIERARCHICAL ordering (x [dim] or
+    [dim, minor]); jittable (static block structure, all-dense small
+    matmuls — every op is MXU-shaped when the minor axis is wide)."""
+    import jax.numpy as jnp
+
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    minor = x.shape[1]
+    parts = []
+    for i in range(len(f.n_a_vals)):
+        seg = jnp.zeros((int(f.ca[i]), int(f.cb[i]), minor), x.dtype)
+        parts.append(seg)
+
+    def blk(i):
+        lo = int(f.offsets[i])
+        return x[lo: lo + int(f.ca[i] * f.cb[i])].reshape(
+            int(f.ca[i]), int(f.cb[i]), minor)
+
+    for i in range(len(f.n_a_vals)):
+        xb = blk(i)
+        if dev_blocks["ha"][i] is not None:
+            parts[i] = parts[i] + jnp.einsum(
+                "pa,abm->pbm", dev_blocks["ha"][i], xb)
+        if dev_blocks["hb"][i] is not None:
+            parts[i] = parts[i] + jnp.einsum(
+                "qb,abm->aqm", dev_blocks["hb"][i], xb)
+        for (sa, sb, sc) in dev_blocks["up"][i]:
+            t = jnp.einsum("pa,abm->pbm", sa, xb)
+            parts[i + 1] = parts[i + 1] + sc * jnp.einsum(
+                "qb,pbm->pqm", sb, t)
+        for (sa, sb, sc) in dev_blocks["dn"][i]:
+            t = jnp.einsum("pa,abm->pbm", sa, xb)
+            parts[i - 1] = parts[i - 1] + sc * jnp.einsum(
+                "qb,pbm->pqm", sb, t)
+    y = jnp.concatenate([p.reshape(-1, minor) for p in parts], axis=0)
+    return y[:, 0] if squeeze else y
+
+
 def flops_per_minor(f: HierFactor) -> int:
     """MAC count of the dense block chain per minor column — the
     apples-to-apples comparison against the tile kernel's padded

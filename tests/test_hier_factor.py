@@ -79,3 +79,25 @@ def test_hier_flop_accounting_ns16():
         if f.hb_ops[i] is not None:
             within += f.cb[i] * f.cb[i] * f.ca[i]
     assert within * 5 < tile_macs, (within, tile_macs)
+
+
+def test_hier_matvec_jnp_matches_np():
+    """Device (jittable) block-chain matvec == numpy reference == ELL."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, hloc, hrec, dhyb, terms = _plaquette_terms(1)
+    ns, n = cfg.ns, 4
+    states = np.asarray(fock.sector_states(ns, n), np.int64)
+    ell = sector_ham._spin_hop_ell(states, terms)
+    h_dense = ell.to_dense().real
+    f = hier.build_hier_factor(ns, n, terms)
+    dev = hier.device_blocks(f)
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=(len(states), 2))
+    vh = np.empty_like(v)
+    vh[f.perm] = v
+    fn = jax.jit(lambda x: hier.matvec_hier_jnp(f, dev, x))
+    yh = np.asarray(fn(jnp.asarray(vh)))
+    np.testing.assert_allclose(yh[f.perm], h_dense @ v, rtol=1e-12,
+                               atol=1e-12)
