@@ -148,6 +148,17 @@ def _bath_state(solver: EDSolver, bath=None):
     return b
 
 
+def _hloc_state(solver: EDSolver) -> np.ndarray:
+    """g0and/invg0and need the impurity Hloc, which is only set by the
+    first solve (ED_MAIN.f90:195-282 sets impHloc inside ed_solve); a
+    clear error beats the obscure TypeError nnn2lso raises on None
+    (ADVICE r4)."""
+    if solver.imp_hloc is None:
+        raise RuntimeError("solver has no impurity Hloc yet — g0and/"
+                           "invg0and getters need it; call solve first")
+    return solver.imp_hloc
+
+
 def ed_get_delta_matsubara(solver: EDSolver, bath=None) -> np.ndarray:
     """ed_get_delta_matsubara (ED_IO.f90:250-257): hybridization
     Delta(iw) [Nlat,Nlat,Nspin,Nspin,Norb,Norb,Lmats] from the current
@@ -168,13 +179,13 @@ def ed_get_g0and_matsubara(solver: EDSolver, bath=None) -> np.ndarray:
     the bath + the last-solved impurity Hloc (ED_BATH_FUNCTIONS.f90:
     102-121)."""
     return _bath.g0and_bath(solver.cfg, solver.hb,
-                            _bath_state(solver, bath), solver.imp_hloc,
+                            _bath_state(solver, bath), _hloc_state(solver),
                             _bath_fn_grids(solver, "matsubara"))
 
 
 def ed_get_g0and_realaxis(solver: EDSolver, bath=None) -> np.ndarray:
     return _bath.g0and_bath(solver.cfg, solver.hb,
-                            _bath_state(solver, bath), solver.imp_hloc,
+                            _bath_state(solver, bath), _hloc_state(solver),
                             _bath_fn_grids(solver, "realaxis"))
 
 
@@ -182,13 +193,13 @@ def ed_get_invg0and_matsubara(solver: EDSolver, bath=None) -> np.ndarray:
     """ed_get_invG0and_matsubara: G0and^{-1}(iw)
     (ED_BATH_FUNCTIONS.f90:125-155)."""
     return _bath.invg0_bath(solver.cfg, solver.hb,
-                            _bath_state(solver, bath), solver.imp_hloc,
+                            _bath_state(solver, bath), _hloc_state(solver),
                             _bath_fn_grids(solver, "matsubara"))
 
 
 def ed_get_invg0and_realaxis(solver: EDSolver, bath=None) -> np.ndarray:
     return _bath.invg0_bath(solver.cfg, solver.hb,
-                            _bath_state(solver, bath), solver.imp_hloc,
+                            _bath_state(solver, bath), _hloc_state(solver),
                             _bath_fn_grids(solver, "realaxis"))
 
 

@@ -372,8 +372,10 @@ def _conv_ok(conv, rel, eps: float, dim: int) -> bool:
     residual floor ~ eps*sqrt(dim).  ARPACK tol=0 semantics: a solve
     that bottoms out near machine precision IS converged; only a stall
     well above that is a degraded result worth warning about
-    (ADVICE r3)."""
-    floor = max(1e-9, 10.0 * _f64_dot_floor(),
+    (ADVICE r3).  The backend floor is 1x ``_f64_dot_floor()`` — the
+    same level the mixed-path acceptance certifies at; accepting 10x
+    that silently shipped Sigma-degrading vectors (ADVICE r4)."""
+    floor = max(1e-9, _f64_dot_floor(),
                 100.0 * eps * np.sqrt(max(dim, 1)))
     return bool(conv.all()) or float(np.max(rel)) <= floor
 
@@ -477,7 +479,11 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
             coarse = False
             op16 = None                       # free the coarse tiles
             stall = _StallGuard()
-            conv = np.zeros_like(conv)        # bf16-grade, never accept
+        if coarse:
+            # bf16-grade Ritz data is never acceptable, even at loose
+            # caller tolerances (> 3e-3): acceptance only after the
+            # coarse stage has handed off (ADVICE r4)
+            conv = np.zeros_like(conv)
         if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
                 or (not coarse and stall.stalled(float(rel.max()))):
             sj = jnp.asarray(np.ascontiguousarray(s[:, :neigen]))
@@ -1745,6 +1751,8 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
             coarse = False                    # bf16 stage done (see
             op16 = None                       # lanczos_eigh_real)
             stall = _StallGuard()
+        if coarse:
+            # never accept bf16-grade Ritz data (ADVICE r4)
             conv = np.zeros_like(conv)
         if bool(conv.all()) or nmv >= maxiter or ncv >= dim \
                 or (not coarse and stall.stalled(float(rel.max()))):
