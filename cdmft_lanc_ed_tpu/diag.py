@@ -555,13 +555,27 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 tol=cfg.lanc_tolerance, v0=v0, op=dev)
                     else:
                         # factors too large for the dense path: the
-                        # hierarchical/block-sparse large-sector kernels
-                        # (ops/large.py) — the Ns>=16 regime the
-                        # reference serves with its MPI stored-CSR
-                        # matvec (ED_HAMILTONIAN_SPARSE_HxV.f90:230-315)
-                        from .ops import large
-                        lr = large.build_real_padded_large(
+                        # hierarchical A/B-factor kit (ops/hier_dev.py)
+                        # when the factors are pure one-body, else the
+                        # block-sparse tile kit (ops/large.py) — the
+                        # Ns>=16 regime the reference serves with its
+                        # MPI stored-CSR matvec
+                        # (ED_HAMILTONIAN_SPARSE_HxV.f90:230-315)
+                        from .ops import hier_dev, large
+                        lr = hier_dev.build_real_padded_hier(
                             op, dtype=jnp.float64)
+                        if lr is not None:
+                            build_r = hier_dev.build_real_padded_hier
+                            apply_r = hier_dev.apply_hier_real_flat
+                            use16 = False   # within-half stays f32;
+                            # cross tiles alone gain too little for a
+                            # coarse stage
+                        else:
+                            build_r = large.build_real_padded_large
+                            apply_r = large.apply_large_real_flat
+                            use16 = True
+                            lr = large.build_real_padded_large(
+                                op, dtype=jnp.float64)
                         if lr is not None:
                             dev, dim_p, embed, extract = lr
                             v0 = embed(rng.normal(size=dim))
@@ -569,18 +583,16 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                             # large sectors (no O(neigen*dim) host
                             # round trip)
                             if cfg.ed_precision == "mixed":
-                                dev32 = large.build_real_padded_large(
-                                    op, dtype=jnp.float32)[0]
+                                dev32 = build_r(op, dtype=jnp.float32)[0]
                                 # two-stage Krylov: bf16 tiles for the
                                 # cold restarts (~2x MXU MAC rate), f32
                                 # below bf16 resolution, f64 refine
                                 # certifies
-                                dev16 = large.build_real_padded_large(
+                                dev16 = build_r(
                                     op, dtype=jnp.bfloat16,
-                                    reuse=dev32)[0]
+                                    reuse=dev32)[0] if use16 else None
                                 res = lanczos.lanczos_eigh_mixed_real(
-                                    large.apply_large_real_flat,
-                                    large.apply_large_real_flat, dim_p,
+                                    apply_r, apply_r, dim_p,
                                     neigen=neigen, ncv=nblock,
                                     maxiter=nitermax * nblock,
                                     tol=cfg.lanc_tolerance, v0=v0,
@@ -589,26 +601,34 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                     vec_rtol=cfg.ed_mixed_vec_tol)
                             else:
                                 res = lanczos.lanczos_eigh_real(
-                                    large.apply_large_real_flat, dim_p,
+                                    apply_r, dim_p,
                                     neigen=neigen, ncv=nblock,
                                     maxiter=nitermax * nblock,
                                     tol=cfg.lanc_tolerance, v0=v0,
                                     op=dev, device_vectors=True)
                         else:
-                            dev, _r, dim_p, embed, extract = \
-                                large.build_pair_padded_large(
+                            pk = hier_dev.build_pair_padded_hier(
+                                op, dtype=jnp.float64)
+                            if pk is not None:
+                                build_p = hier_dev.build_pair_padded_hier
+                                apply_p = hier_dev.apply_hier_pair_flat
+                                use16 = False
+                            else:
+                                build_p = large.build_pair_padded_large
+                                apply_p = large.apply_large_pair_flat
+                                use16 = True
+                                pk = large.build_pair_padded_large(
                                     op, dtype=jnp.float64)
+                            dev, _r, dim_p, embed, extract = pk
                             v0 = embed(rng.normal(size=dim)
                                        + 1j * rng.normal(size=dim))
                             if cfg.ed_precision == "mixed":
-                                dev32 = large.build_pair_padded_large(
-                                    op, dtype=jnp.float32)[0]
-                                dev16 = large.build_pair_padded_large(
+                                dev32 = build_p(op, dtype=jnp.float32)[0]
+                                dev16 = build_p(
                                     op, dtype=jnp.bfloat16,
-                                    reuse=dev32)[0]
+                                    reuse=dev32)[0] if use16 else None
                                 res = lanczos.lanczos_eigh_mixed(
-                                    large.apply_large_pair_flat,
-                                    large.apply_large_pair_flat, dim_p,
+                                    apply_p, apply_p, dim_p,
                                     neigen=neigen, ncv=nblock,
                                     maxiter=nitermax * nblock,
                                     tol=cfg.lanc_tolerance, v0=v0,
@@ -617,7 +637,7 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                     vec_rtol=cfg.ed_mixed_vec_tol)
                             else:
                                 res = lanczos.lanczos_eigh_split(
-                                    large.apply_large_pair_flat, dim_p,
+                                    apply_p, dim_p,
                                     neigen=neigen, ncv=nblock,
                                     maxiter=nitermax * nblock,
                                     tol=cfg.lanc_tolerance, v0=v0,

@@ -362,28 +362,50 @@ def build_gf_normal(cfg: EDConfig, state: DiagState, build: SectorBuilder,
                                 op_sh, dim_, ident, ident, True)
                         return op_cache[key]
                 if key[2]:
-                    kit = (large_mod.build_real_padded_large(
-                        op, dtype=gf_dtype) if is_large
-                        else split_mod.build_real_padded(
-                            op, dtype=gf_dtype))
+                    if is_large:
+                        # hierarchical kit first (pure one-body
+                        # factors), tile kit otherwise
+                        from .ops import hier_dev as hier_mod
+                        kit = hier_mod.build_real_padded_hier(
+                            op, dtype=gf_dtype)
+                        apply_fn = \
+                            hier_mod.apply_hier_real_flat_batched
+                        if kit is None:
+                            kit = large_mod.build_real_padded_large(
+                                op, dtype=gf_dtype)
+                            apply_fn = \
+                                large_mod.apply_large_real_flat_batched
+                    else:
+                        kit = split_mod.build_real_padded(
+                            op, dtype=gf_dtype)
+                        apply_fn = split_mod.apply_real_flat
                     if kit is None:
                         op_cache[key] = None
                     else:
                         # large appliers are pre-batched (batch folded
                         # into the SpMM width — no vmap over Pallas)
-                        apply_fn = (
-                            large_mod.apply_large_real_flat_batched
-                            if is_large else split_mod.apply_real_flat)
                         op_cache[key] = (apply_fn,) + kit + (is_large,)
                 else:
                     if is_large:
-                        dev, realf, dim_p, embed, extract = \
-                            large_mod.build_pair_padded_large(
-                                op, dtype=gf_dtype)
-                        apply_fn = (
-                            large_mod.apply_large_realpair_flat_batched
-                            if realf
-                            else large_mod.apply_large_pair_flat_batched)
+                        from .ops import hier_dev as hier_mod
+                        pk = hier_mod.build_pair_padded_hier(
+                            op, dtype=gf_dtype)
+                        if pk is not None:
+                            dev, realf, dim_p, embed, extract = pk
+                            apply_fn = (
+                                hier_mod.apply_hier_realpair_flat_batched
+                                if realf
+                                else hier_mod.apply_hier_pair_flat_batched)
+                        else:
+                            dev, realf, dim_p, embed, extract = \
+                                large_mod.build_pair_padded_large(
+                                    op, dtype=gf_dtype)
+                            apply_fn = (
+                                large_mod
+                                .apply_large_realpair_flat_batched
+                                if realf
+                                else large_mod
+                                .apply_large_pair_flat_batched)
                     else:
                         dev, realf, dim_p, embed, extract = \
                             split_mod.build_pair_padded(op,

@@ -20,15 +20,19 @@ decomposes EXACTLY into
   because every A level lies below every B level.
 
 Applying the factor to the [dim, minor] sector view is then a chain of
-SMALL DENSE matmuls over [CA, CB, minor] blocks — FLOPs proportional to
-sum_nA CA^2 CB + CB^2 CA + cross terms (measured ~25x below the tile
-kernel's padded FLOPs at Ns=16) with x read O(#term-classes) times.
+SMALL DENSE matmuls over [CA, CB, minor] blocks.  Measured MAC
+accounting at the Ns=16 half-filled factor (test_hier_factor.py): the
+full dense chain is 21.0M MACs/minor — 1.16x leaner than the 128x128
+tile kernel's padded 24.3M, NOT the naive nnz ratio, because the
+hybridisation cross hops are permutation-sparse but dense-block in
+this algebra.  The production device apply (ops/hier_dev.py) therefore
+runs the within-half terms as dense MXU matmuls (0.74M MACs/minor)
+and the cross hops as flat signed row gathers over the hier-ordered
+vector — occupancy-proportional traffic instead of padded FLOPs.
 
-Round-4 prototype: real amplitudes, correctness-tested vs the ELL
-factor on CPU; the Pallas/device scheduling of the block chain is the
-designed round-5 kernel.  Reference analog: the stored-CSR factor this
-re-expresses is ED_HAMILTONIAN/sparse/H_up.f90 (the reference never
-exploits the product structure inside a spin factor).
+Reference analog: the stored-CSR factor this re-expresses is
+ED_HAMILTONIAN/sparse/H_up.f90 (the reference never exploits the
+product structure inside a spin factor).
 """
 from __future__ import annotations
 
@@ -93,11 +97,13 @@ def _destroy_op(states_from: np.ndarray, states_to: np.ndarray, lvl: int):
     return out
 
 
-def _half_hop_op(states: np.ndarray, a: int, b: int, amp: float):
-    """Dense amp * c^+_a c_b within one half-sector."""
-    out = np.zeros((len(states), len(states)))
+def _half_hop_op(states: np.ndarray, a: int, b: int, amp: complex):
+    """Dense amp * c^+_a c_b within one half-sector (complex when the
+    amplitude is)."""
+    dt = np.float64 if abs(complex(amp).imag) < 1e-14 else np.complex128
+    out = np.zeros((len(states), len(states)), dt)
     rows, cols, signs = fock.hop_entries(np.asarray(states, np.int64), a, b)
-    out[rows, cols] = amp * signs
+    out[rows, cols] = (amp.real if dt == np.float64 else amp) * signs
     return out
 
 
@@ -115,7 +121,7 @@ def build_hier_factor(ns: int, n: int,
     states = np.asarray(fock.sector_states(ns, n), np.int64)
     s_a = states & mask_a
     s_b = states >> ha
-    n_a = np.array([bin(int(x)).count("1") for x in s_a])
+    n_a = fock.popcount(s_a).astype(np.int64)
 
     n_a_vals = np.array(sorted(set(int(x) for x in n_a)))
     states_a = {k: np.asarray(fock.sector_states(ha, k), np.int64)
@@ -129,15 +135,14 @@ def build_hier_factor(ns: int, n: int,
     dim = int((ca * cb).sum())
     assert dim == len(states)
 
-    # permutation: combinadic rank -> (nA, rankA, rankB) hierarchical rank
-    blk_of = {int(k): i for i, k in enumerate(n_a_vals)}
+    # permutation: combinadic rank -> (nA, rankA, rankB) hierarchical
+    # rank, vectorised per nA block
     perm = np.empty(len(states), np.int64)
-    for i in range(len(states)):
-        k = int(n_a[i])
-        bi = blk_of[k]
-        ra = int(np.searchsorted(states_a[k], s_a[i]))
-        rb = int(np.searchsorted(states_b[n - k], s_b[i]))
-        perm[i] = offsets[bi] + ra * cb[bi] + rb
+    for bi, k in enumerate(n_a_vals):
+        idx = np.nonzero(n_a == k)[0]
+        ra = np.searchsorted(states_a[int(k)], s_a[idx])
+        rb = np.searchsorted(states_b[int(n - k)], s_b[idx])
+        perm[idx] = offsets[bi] + ra * cb[bi] + rb
 
     nblk = len(n_a_vals)
     ha_ops = [None] * nblk
@@ -147,8 +152,6 @@ def build_hier_factor(ns: int, n: int,
 
     for (a, b, amp) in terms:
         amp = complex(amp)
-        assert abs(amp.imag) < 1e-14, "hier prototype: real amps only"
-        amp = amp.real
         if a < ha and b < ha:
             for bi, k in enumerate(n_a_vals):
                 op = _half_hop_op(states_a[k], a, b, amp)
@@ -194,7 +197,14 @@ def matvec_hier_np(f: HierFactor, x: np.ndarray) -> np.ndarray:
     if squeeze:
         x = x[:, None]
     minor = x.shape[1]
-    y = np.zeros_like(x)
+    dt = x.dtype
+    for o in f.ha_ops + f.hb_ops:
+        if o is not None:
+            dt = np.result_type(dt, o.dtype)
+    for lst in list(f.up_cross) + list(f.dn_cross):
+        for (_sa, _sb, sc) in lst:
+            dt = np.result_type(dt, np.asarray(sc).dtype)
+    y = np.zeros(x.shape, dt)
 
     def blk(i, arr):
         seg = arr[f.offsets[i]: f.offsets[i] + f.ca[i] * f.cb[i]]
@@ -229,9 +239,13 @@ def device_blocks(f: HierFactor):
     return {
         "ha": [dev(o) for o in f.ha_ops],
         "hb": [dev(o) for o in f.hb_ops],
-        "up": [[(dev(sa), dev(sb), float(sc)) for (sa, sb, sc) in lst]
+        "up": [[(dev(sa), dev(sb),
+                 float(sc.real) if abs(complex(sc).imag) < 1e-14
+                 else complex(sc)) for (sa, sb, sc) in lst]
                for lst in f.up_cross],
-        "dn": [[(dev(sa), dev(sb), float(sc)) for (sa, sb, sc) in lst]
+        "dn": [[(dev(sa), dev(sb),
+                 float(sc.real) if abs(complex(sc).imag) < 1e-14
+                 else complex(sc)) for (sa, sb, sc) in lst]
                for lst in f.dn_cross],
     }
 
@@ -274,6 +288,94 @@ def matvec_hier_jnp(f: HierFactor, dev_blocks, x):
                 "qb,pbm->pqm", sb, t)
     y = jnp.concatenate([p.reshape(-1, minor) for p in parts], axis=0)
     return y[:, 0] if squeeze else y
+
+
+def terms_from_ell(states: np.ndarray, ell) -> list:
+    """Recover the one-body term list sum amp c^+_a c_b from a stored
+    ELL spin factor (inverse of sector_ham._spin_hop_ell): every entry
+    of a one-hop factor is amp(a,b) * fermionic sign, and the (a, b)
+    pair is identified by the two differing bits.  Returns None when
+    the factor is not a pure one-body hop matrix (defensive: the hier
+    kit then falls back to the tile kernels)."""
+    states = np.asarray(states, np.int64)
+    if len(states) == 0 or int(states.max()) == 0:
+        return []
+    ns = int(states.max()).bit_length()
+    k = ell.cols.shape[1]
+    rows = np.repeat(np.arange(ell.n, dtype=np.int64), k)
+    cols = ell.cols.ravel().astype(np.int64)
+    vals = ell.vals.ravel()
+    nz = vals != 0
+    rows, cols, vals = rows[nz], cols[nz], vals[nz]
+    if len(rows) == 0:
+        return []
+    s_dst, s_src = states[rows], states[cols]
+    diff = s_dst ^ s_src
+    if (fock.popcount(diff) != 2).any():
+        return None
+    a_bit = diff & s_dst
+    b_bit = diff & s_src
+    a_lvl = np.round(np.log2(a_bit.astype(np.float64))).astype(np.int64)
+    b_lvl = np.round(np.log2(b_bit.astype(np.float64))).astype(np.int64)
+    # sign of c^+_a c_b |s_src>: parity below b in s_src, then parity
+    # below a after the b level is emptied (ED_SETUP.f90:807-833)
+    s1 = 1 - 2 * (fock.popcount(
+        s_src & ((np.int64(1) << b_lvl) - 1)) & 1)
+    s_mid = s_src & ~b_bit
+    s2 = 1 - 2 * (fock.popcount(
+        s_mid & ((np.int64(1) << a_lvl) - 1)) & 1)
+    amp = vals / (s1 * s2).astype(np.float64)
+    key = a_lvl * ns + b_lvl
+    order = np.argsort(key, kind="stable")
+    ks, amps = key[order], amp[order]
+    uniq, first = np.unique(ks, return_index=True)
+    ref = amps[first][np.searchsorted(uniq, ks)]
+    if not np.allclose(amps, ref, rtol=1e-10, atol=1e-12):
+        return None
+    return [(int(u // ns), int(u % ns), complex(a))
+            for u, a in zip(uniq, amps[first])]
+
+
+def flat_cross_maps(f: HierFactor):
+    """Cross hops of both directions flattened to signed row maps on the
+    HIER-ordered vector: (dst [R], src [R], sgn [R] complex) with
+    y[dst] += sgn * x[src] summing every cross term — the
+    occupancy-proportional device form (each sa/sb factor is a
+    sub-permutation, so the Kronecker product enumerates exactly the
+    physical (source, target) state pairs)."""
+    dsts, srcs, sgns = [], [], []
+
+    def emit(bi_src, bi_dst, sa, sb, scale):
+        p_idx, a_idx = np.nonzero(sa)
+        q_idx, b_idx = np.nonzero(sb)
+        if len(p_idx) == 0 or len(q_idx) == 0:
+            return
+        sa_sgn = sa[p_idx, a_idx]
+        sb_sgn = sb[q_idx, b_idx]
+        cb_s = int(f.cb[bi_src])
+        cb_d = int(f.cb[bi_dst])
+        off_s = int(f.offsets[bi_src])
+        off_d = int(f.offsets[bi_dst])
+        dst = (off_d + p_idx[:, None] * cb_d + q_idx[None, :]).ravel()
+        src = (off_s + a_idx[:, None] * cb_s + b_idx[None, :]).ravel()
+        sg = (scale * sa_sgn[:, None] * sb_sgn[None, :]).ravel()
+        dsts.append(dst)
+        srcs.append(src)
+        sgns.append(sg)
+
+    for i in range(len(f.n_a_vals)):
+        for (sa, sb, sc) in f.up_cross[i]:
+            emit(i, i + 1, sa, sb, sc)
+        for (sa, sb, sc) in f.dn_cross[i]:
+            emit(i, i - 1, sa, sb, sc)
+    if not dsts:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.complex128)
+    dst = np.concatenate(dsts)
+    src = np.concatenate(srcs)
+    sgn = np.concatenate(sgns).astype(np.complex128)
+    order = np.argsort(dst, kind="stable")
+    return dst[order], src[order], sgn[order]
 
 
 def flops_per_minor(f: HierFactor) -> int:

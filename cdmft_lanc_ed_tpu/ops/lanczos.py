@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import dispatch as _dispatch
+
 
 # Operator-as-argument convention: every solver accepts either a legacy
 # closure matvec(x) (operator baked into the jitted HLO as constants —
@@ -160,6 +162,7 @@ def lanczos_tridiag_batched(matvec, v0: jax.Array, niter: int):
 
     v0n = v0 / jnp.maximum(norms0, 1e-300)[:, None]
     alphas, betas = run(v0n)
+    _dispatch.tick("gf.tridiag")
     return (np.asarray(alphas), np.asarray(jnp.real(betas))[:, : niter - 1],
             np.asarray(norms0))
 
@@ -229,6 +232,7 @@ def lanczos_tridiag_batched_split(matvec_pair, v0: np.ndarray, niter: int,
            else _tridiag_split_run.__wrapped__(apply_fn, niter,
                                                op_batched))
     alphas, betas = run(opd, v0r, v0i)
+    _dispatch.tick("gf.tridiag")
     return (np.asarray(alphas), np.asarray(betas)[:, : niter - 1],
             norms0)
 
@@ -285,7 +289,68 @@ def lanczos_tridiag_batched_real(matvec_real, v0: np.ndarray, niter: int,
     run = (_tridiag_real_run(apply_fn, niter, op_batched) if cached
            else _tridiag_real_run.__wrapped__(apply_fn, niter, op_batched))
     alphas, betas = run(opd, v0n)
+    _dispatch.tick("gf.tridiag")
     return (np.asarray(alphas), np.asarray(betas)[:, : niter - 1], norms0)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_restart_expand_real(apply_fn):
+    """Fused thick-restart round, REAL plane: (optional) basis restart
+    from the PREVIOUS round's Ritz rotation + CGS2 expansion k -> ncv,
+    in ONE device call returning one packed [ncv+1, ncv] array
+    (projection columns + betas).  Over the development tunnel every
+    device call pays ~0.1-0.15 s latency; the split
+    expand/restart/pack form issued 3 calls + 2 blocking transfers per
+    restart (measured by utils/dispatch.py) — the dominant term of
+    DMFT_BENCH_r04's diagonalization stage."""
+    P = jax.lax.Precision.HIGHEST
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(op, b, s_k, k):
+        ncv1 = b.shape[0]
+        ncv = ncv1 - 1
+
+        def do_restart(b):
+            # rows: nb[e] = sum_r s_k[r, e] b[r]; s_k columns >= k are
+            # zero, so rows >= k of the rotated basis vanish and the
+            # residual row lands at (traced) index k
+            def body(r, acc):
+                return acc + s_k[r][:, None] * b[r][None, :]
+
+            nb = jax.lax.fori_loop(
+                0, ncv, body, jnp.zeros((ncv, b.shape[1]), b.dtype))
+            last = b[ncv]
+            out = jnp.zeros_like(b).at[:ncv].set(nb)
+            return jax.lax.dynamic_update_slice(out, last[None], (k, 0))
+
+        b = jax.lax.cond(k > 0, do_restart, lambda b: b, b)
+
+        def do_step(args):
+            b, j = args
+            w = apply_fn(op, b[j])
+            mask = (jnp.arange(ncv1) <= j)
+            c1 = jnp.where(mask, jnp.matmul(b, w, precision=P), 0.0)
+            w = w - jnp.matmul(c1, b, precision=P)
+            c2 = jnp.where(mask, jnp.matmul(b, w, precision=P), 0.0)
+            w = w - jnp.matmul(c2, b, precision=P)
+            beta = jnp.linalg.norm(w)
+            b = b.at[j + 1].set(w / jnp.maximum(beta, 1e-30))
+            return b, (c1 + c2)[: ncv1 - 1], beta
+
+        def skip_step(args):
+            b, j = args
+            return b, jnp.zeros(ncv1 - 1, b.dtype), \
+                jnp.asarray(0.0, b.dtype)
+
+        def sstep(carry, j):
+            b, = carry
+            b, c, beta = jax.lax.cond(j >= k, do_step, skip_step, (b, j))
+            return (b,), (c, beta)
+
+        (b,), (cs, betas) = jax.lax.scan(sstep, (b,), jnp.arange(ncv))
+        return b, jnp.concatenate([cs, betas[None, :]], axis=0)
+
+    return step
 
 
 @functools.lru_cache(maxsize=None)
@@ -446,18 +511,24 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
     basis = _basis_init(ncv + 1, dim, dtype)(jnp.asarray(v0, dtype))
     t_proj = np.zeros((ncv, ncv))
     apply_fn, opd, cached = _as_applier(matvec_real, op)
-    expand = (_expand_block_real(apply_fn) if cached
-              else _expand_block_real.__wrapped__(apply_fn))
+    fused = (_fused_restart_expand_real(apply_fn) if cached
+             else _fused_restart_expand_real.__wrapped__(apply_fn))
     restart_basis = _restart_real
 
     k = 0
     nmv = 0
     stall = _StallGuard()
     coarse = op16 is not None
+    s_dev = jnp.zeros((ncv, ncv), dtype)
     while True:
-        basis, cs, betas_d = expand(op16 if coarse else opd, basis, k)
-        cs = np.asarray(cs)
-        betas_np = np.asarray(betas_d)
+        # ONE device call per restart round: rotate-restart (masked
+        # Ritz columns from the previous round) + CGS2 expansion, one
+        # packed transfer back (utils/dispatch.py counts the win)
+        basis, packed = fused(op16 if coarse else opd, basis, s_dev, k)
+        _dispatch.tick("lanczos.fused_round")
+        arr = np.asarray(packed)
+        cs = arr[:ncv]
+        betas_np = arr[ncv]
         for j in range(k, ncv):
             t_proj[: j + 1, j] = cs[j][: j + 1]
             t_proj[j, : j + 1] = cs[j][: j + 1]
@@ -504,15 +575,11 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
                               _conv_ok(conv, rel, eps, dim))
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
-        sj = jnp.asarray(np.ascontiguousarray(s[:, :k]), dtype)
-        nb = restart_basis(basis, sj)
-        last_row = basis[ncv]
-        # release the OLD basis before allocating the new one: holding
-        # both doubles the peak HBM (at dim 1.66e8 / ncv=10 that is the
-        # difference between fitting in 16 GB and OOM)
-        basis = None
-        basis = _basis_restart_pack(ncv + 1, k, dtype)(nb, last_row)
-        del nb, last_row
+        # the restart itself happens ON DEVICE at the start of the next
+        # fused round; only the masked Ritz rotation ships up (tiny)
+        s_pad = np.zeros((ncv, ncv))
+        s_pad[:, :k] = s[:, :k]
+        s_dev = jnp.asarray(s_pad, dtype)
         t_proj[:] = 0.0
         t_proj[:k, :k] = np.diag(theta[:k])
         b_row = last_beta * s[-1, :k]
@@ -562,6 +629,62 @@ def _expand_real_batched(apply_fn):
     return expand
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_restart_expand_real_batched(apply_fn):
+    """Batched twin of :func:`_fused_restart_expand_real`: restart +
+    CGS2 expansion in one device call, one packed transfer
+    ([ncv, B, ncv+1]: projection columns + beta in the last slot)."""
+    P = jax.lax.Precision.HIGHEST
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(op, bas, s_k, k):
+        nb = bas.shape[0]
+        ncv1 = bas.shape[1]
+        ncv = ncv1 - 1
+
+        def do_restart(bas):
+            rot = jnp.einsum("bnk,bnd->bkd", s_k, bas[:, :ncv],
+                             precision=P)
+            last = bas[:, ncv]
+            out = jnp.zeros_like(bas).at[:, :ncv].set(rot)
+            return jax.lax.dynamic_update_slice(
+                out, last[:, None], (0, k, 0))
+
+        bas = jax.lax.cond(k > 0, do_restart, lambda b: b, bas)
+
+        def do_step(args):
+            bb, j = args
+            w = apply_fn(op, bb[:, j])
+            mask = (jnp.arange(ncv1) <= j)
+            c1 = jnp.where(mask[None], jnp.einsum(
+                "bnd,bd->bn", bb, w, precision=P), 0.0)
+            w = w - jnp.einsum("bn,bnd->bd", c1, bb, precision=P)
+            c2 = jnp.where(mask[None], jnp.einsum(
+                "bnd,bd->bn", bb, w, precision=P), 0.0)
+            w = w - jnp.einsum("bn,bnd->bd", c2, bb, precision=P)
+            beta = jnp.linalg.norm(w, axis=1)
+            bb = bb.at[:, j + 1].set(
+                w / jnp.maximum(beta, 1e-30)[:, None])
+            return bb, (c1 + c2)[:, : ncv1 - 1], beta
+
+        def skip_step(args):
+            bb, j = args
+            return bb, jnp.zeros((nb, ncv1 - 1), bb.dtype), \
+                jnp.zeros(nb, bb.dtype)
+
+        def sstep(carry, j):
+            bb, = carry
+            bb, c, beta = jax.lax.cond(j >= k, do_step, skip_step,
+                                       (bb, j))
+            return (bb,), (c, beta)
+
+        (bas,), (cs, betas) = jax.lax.scan(sstep, (bas,),
+                                           jnp.arange(ncv))
+        return bas, jnp.concatenate([cs, betas[:, :, None]], axis=2)
+
+    return step
+
+
 @jax.jit
 def _restart_basis_batched(bas, s):
     # s [B, ncv, k]: new rows = s^T @ basis rows, per batch member
@@ -609,17 +732,20 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
         jnp.asarray(v0, dtype)))
     t_proj = np.zeros((b, ncv, ncv))
     apply_fn, opd, cached = _as_applier(matvec_batched, op)
-    expand = (_expand_real_batched(apply_fn) if cached
-              else _expand_real_batched.__wrapped__(apply_fn))
+    fused = (_fused_restart_expand_real_batched(apply_fn) if cached
+             else _fused_restart_expand_real_batched.__wrapped__(apply_fn))
     restart_basis = _restart_basis_batched
 
     k = 0
     nmv = 0
     stall = _StallGuard()
+    s_dev = bput(jnp.zeros((b, ncv, ncv), dtype))
     while True:
-        basis, cs, betas_d = expand(opd, basis, k)
-        cs = np.asarray(cs)                   # [ncv, B, ncv]
-        betas_np = np.asarray(betas_d)        # [ncv, B]
+        basis, packed = fused(opd, basis, s_dev, k)
+        _dispatch.tick("lanczos.fused_round")
+        arr = np.asarray(packed)              # [ncv, B, ncv+1]
+        cs = arr[..., :ncv]                   # [ncv, B, ncv]
+        betas_np = arr[..., ncv]              # [ncv, B]
         for j in range(k, ncv):
             t_proj[:, : j + 1, j] = cs[j][:, : j + 1]
             t_proj[:, j, : j + 1] = cs[j][:, : j + 1]
@@ -652,10 +778,10 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
                 for i in range(b)]
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
-        sj = jnp.asarray(np.ascontiguousarray(s[:, :, :k]), dtype)
-        nb = restart_basis(basis, sj)                      # [B, k, dim]
-        basis = jnp.zeros_like(basis).at[:, :k].set(nb) \
-            .at[:, k].set(basis[:, ncv])
+        # restart runs on device inside the next fused round
+        s_pad = np.zeros((b, ncv, ncv))
+        s_pad[:, :, :k] = s[:, :, :k]
+        s_dev = bput(jnp.asarray(s_pad, dtype))
         t_proj[:] = 0.0
         idx = np.arange(k)
         t_proj[:, idx, idx] = theta[:, :k]
@@ -722,6 +848,42 @@ def _expand_split_batched(apply_fn):
     return expand
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_restart_expand_split_batched(apply_fn):
+    """Batched split-pair fused restart round: one device call, one
+    packed [ncv, B, 2*ncv+1] transfer (re/im columns + betas)."""
+    P = jax.lax.Precision.HIGHEST
+    inner = _expand_split_batched.__wrapped__(apply_fn)
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def step(op, br, bi, sr_k, si_k, k):
+        ncv1 = br.shape[1]
+        ncv = ncv1 - 1
+
+        def do_restart(args):
+            br, bi = args
+            vr, vi = br[:, :ncv], bi[:, :ncv]
+            nr = jnp.einsum("bnk,bnd->bkd", sr_k, vr, precision=P) \
+                - jnp.einsum("bnk,bnd->bkd", si_k, vi, precision=P)
+            ni = jnp.einsum("bnk,bnd->bkd", sr_k, vi, precision=P) \
+                + jnp.einsum("bnk,bnd->bkd", si_k, vr, precision=P)
+            lr, li = br[:, ncv], bi[:, ncv]
+            obr = jnp.zeros_like(br).at[:, :ncv].set(nr)
+            obi = jnp.zeros_like(bi).at[:, :ncv].set(ni)
+            obr = jax.lax.dynamic_update_slice(obr, lr[:, None],
+                                               (0, k, 0))
+            obi = jax.lax.dynamic_update_slice(obi, li[:, None],
+                                               (0, k, 0))
+            return obr, obi
+
+        br, bi = jax.lax.cond(k > 0, do_restart, lambda a: a, (br, bi))
+        br, bi, crs, cis, betas = inner(op, br, bi, k)
+        return br, bi, jnp.concatenate(
+            [crs, cis, betas[:, :, None]], axis=2)
+
+    return step
+
+
 @jax.jit
 def _restart_basis_split_batched(br, bi, sr, si):
     P = jax.lax.Precision.HIGHEST
@@ -765,18 +927,23 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
         jnp.asarray(np.ascontiguousarray(v0.imag), dtype)))
     t_proj = np.zeros((b, ncv, ncv), np.complex128)
     apply_fn, opd, cached = _as_applier(matvec_pair_batched, op)
-    expand = (_expand_split_batched(apply_fn) if cached
-              else _expand_split_batched.__wrapped__(apply_fn))
+    fused = (_fused_restart_expand_split_batched(apply_fn) if cached
+             else
+             _fused_restart_expand_split_batched.__wrapped__(apply_fn))
     restart_basis = _restart_basis_split_batched
 
     k = 0
     nmv = 0
     stall = _StallGuard()
+    sr_dev = bput(jnp.zeros((b, ncv, ncv), dtype))
+    si_dev = bput(jnp.zeros((b, ncv, ncv), dtype))
     while True:
-        br, bi, crs, cis, betas_d = expand(opd, br, bi, k)
-        crs = np.asarray(crs)                  # [ncv, B, ncv]
-        cis = np.asarray(cis)
-        betas_np = np.asarray(betas_d)         # [ncv, B]
+        br, bi, packed = fused(opd, br, bi, sr_dev, si_dev, k)
+        _dispatch.tick("lanczos.fused_round")
+        arr = np.asarray(packed)               # [ncv, B, 2*ncv+1]
+        crs = arr[..., :ncv]                   # [ncv, B, ncv]
+        cis = arr[..., ncv:2 * ncv]
+        betas_np = arr[..., 2 * ncv]           # [ncv, B]
         for j in range(k, ncv):
             col = crs[j] + 1j * cis[j]         # [B, ncv]
             t_proj[:, : j + 1, j] = col[:, : j + 1]
@@ -813,12 +980,13 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
                 for i in range(b)]
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
-        sj = s[:, :, :k]
-        sr = jnp.asarray(np.ascontiguousarray(sj.real), dtype)
-        si = jnp.asarray(np.ascontiguousarray(sj.imag), dtype)
-        nr, ni = restart_basis(br, bi, sr, si)
-        br = jnp.zeros_like(br).at[:, :k].set(nr).at[:, k].set(br[:, ncv])
-        bi = jnp.zeros_like(bi).at[:, :k].set(ni).at[:, k].set(bi[:, ncv])
+        # restart runs on device inside the next fused round
+        s_pad = np.zeros((b, ncv, ncv), np.complex128)
+        s_pad[:, :, :k] = s[:, :, :k]
+        sr_dev = bput(jnp.asarray(np.ascontiguousarray(s_pad.real),
+                                  dtype))
+        si_dev = bput(jnp.asarray(np.ascontiguousarray(s_pad.imag),
+                                  dtype))
         t_proj[:] = 0.0
         idx = np.arange(k)
         t_proj[:, idx, idx] = theta[:, :k]
@@ -1432,6 +1600,7 @@ def rayleigh_refine_real_batched(matvec_batched64, vecs: np.ndarray,
     theta = resid_np = x = None
     rstall = _RefineStall()
     for it in range(max_expand + 1):
+        _dispatch.tick("refine.round", 2)
         g_np, hk_np = map(np.asarray, _refine_stats_b(q, w))
         s_t, theta = _canonical_rr(g_np, hk_np)
         th = np.where(theta[:, :ne] >= 1e30, 0.0, theta[:, :ne])
@@ -1685,6 +1854,47 @@ def _expand_block_split(apply_fn):
     return expand
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_restart_expand_split(apply_fn):
+    """Split-pair twin of :func:`_fused_restart_expand_real`: restart +
+    CGS2 expansion in one device call; packed [2*ncv+1, ncv] transfer
+    (re columns, im columns, betas)."""
+    P = jax.lax.Precision.HIGHEST
+    inner = _expand_block_split.__wrapped__(apply_fn)
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def step(op, br, bi, sr_k, si_k, k):
+        ncv1 = br.shape[0]
+        ncv = ncv1 - 1
+
+        def do_restart(args):
+            br, bi = args
+
+            def body(r, accs):
+                nr, ni = accs
+                nr = nr + sr_k[r][:, None] * br[r][None, :] \
+                    - si_k[r][:, None] * bi[r][None, :]
+                ni = ni + sr_k[r][:, None] * bi[r][None, :] \
+                    + si_k[r][:, None] * br[r][None, :]
+                return nr, ni
+
+            z = jnp.zeros((ncv, br.shape[1]), br.dtype)
+            nr, ni = jax.lax.fori_loop(0, ncv, body, (z, z))
+            lr, li = br[ncv], bi[ncv]
+            obr = jnp.zeros_like(br).at[:ncv].set(nr)
+            obi = jnp.zeros_like(bi).at[:ncv].set(ni)
+            obr = jax.lax.dynamic_update_slice(obr, lr[None], (k, 0))
+            obi = jax.lax.dynamic_update_slice(obi, li[None], (k, 0))
+            return obr, obi
+
+        br, bi = jax.lax.cond(k > 0, do_restart, lambda a: a, (br, bi))
+        br, bi, crs, cis, betas = inner(op, br, bi, k)
+        return br, bi, jnp.concatenate([crs, cis, betas[None, :]],
+                                       axis=0)
+
+    return step
+
+
 def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
                        maxiter: int = 512, tol: float = 1e-14,
                        v0: Optional[np.ndarray] = None,
@@ -1714,8 +1924,8 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
     bi = _basis_init(ncv + 1, dim, dtype)(jnp.asarray(v0[1], dtype))
     t_proj = np.zeros((ncv, ncv), dtype=np.complex128)
     apply_fn, opd, cached = _as_applier(matvec_pair, op)
-    expand = (_expand_block_split(apply_fn) if cached
-              else _expand_block_split.__wrapped__(apply_fn))
+    fused = (_fused_restart_expand_split(apply_fn) if cached
+             else _fused_restart_expand_split.__wrapped__(apply_fn))
 
     restart_basis = _restart_split
 
@@ -1723,13 +1933,19 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
     nmv = 0
     stall = _StallGuard()
     coarse = op16 is not None
+    sr_dev = jnp.zeros((ncv, ncv), dtype)
+    si_dev = jnp.zeros((ncv, ncv), dtype)
     while True:
-        # one device call expands k -> ncv (latency-critical over a tunnel)
-        br, bi, crs, cis, betas_d = expand(op16 if coarse else opd,
-                                           br, bi, k)
-        crs = np.asarray(crs)
-        cis = np.asarray(cis)
-        betas_np = np.asarray(betas_d)
+        # ONE device call per restart round (rotate-restart + CGS2
+        # expansion) and one packed transfer — latency-critical over a
+        # tunnel (utils/dispatch.py counts)
+        br, bi, packed = fused(op16 if coarse else opd, br, bi,
+                               sr_dev, si_dev, k)
+        _dispatch.tick("lanczos.fused_round")
+        arr = np.asarray(packed)
+        crs = arr[:ncv]
+        cis = arr[ncv:2 * ncv]
+        betas_np = arr[2 * ncv]
         for j in range(k, ncv):
             col = crs[j] + 1j * cis[j]
             t_proj[: j + 1, j] = col[: j + 1]
@@ -1780,16 +1996,11 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
                               _conv_ok(conv, rel, eps, dim))
 
         k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
-        sr = jnp.asarray(np.ascontiguousarray(s[:, :k].real), dtype)
-        si = jnp.asarray(np.ascontiguousarray(s[:, :k].imag), dtype)
-        nr, ni = restart_basis(br, bi, sr, si)
-        last_r, last_i = br[ncv], bi[ncv]
-        # release the OLD planes before allocating the new ones (peak-HBM
-        # control, same as the real-plane restart)
-        br = bi = None
-        br = _basis_restart_pack(ncv + 1, k, dtype)(nr, last_r)
-        bi = _basis_restart_pack(ncv + 1, k, dtype)(ni, last_i)
-        del nr, ni, last_r, last_i
+        # restart runs on device inside the next fused round
+        s_pad = np.zeros((ncv, ncv), np.complex128)
+        s_pad[:, :k] = s[:, :k]
+        sr_dev = jnp.asarray(np.ascontiguousarray(s_pad.real), dtype)
+        si_dev = jnp.asarray(np.ascontiguousarray(s_pad.imag), dtype)
         t_proj[:] = 0.0
         t_proj[:k, :k] = np.diag(theta[:k])
         b_row = last_beta * s[-1, :k].conj()

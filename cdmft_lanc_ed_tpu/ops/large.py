@@ -77,13 +77,23 @@ def block_factor_of(ell: EllMatrix, real: bool, dtype=np.float32
     """Block-ELL of a (possibly complex) ELL factor.  ``real=True`` keeps
     one plane; complex factors are built per-plane by the caller."""
     m = ell.n
-    nb = -(-m // B)
     k = ell.cols.shape[1]
     rows = np.repeat(np.arange(m, dtype=np.int64), k)
     cols = ell.cols.ravel().astype(np.int64)
     vals = ell.vals.ravel()
     nz = vals != 0
-    rows, cols, vals = rows[nz], cols[nz], vals[nz]
+    return block_factor_of_coo(m, rows[nz], cols[nz], vals[nz], real,
+                               dtype)
+
+
+def block_factor_of_coo(m: int, rows, cols, vals, real: bool,
+                        dtype=np.float32) -> BlockFactor:
+    """Block-ELL from COO triplets (also the entry point for the
+    hierarchical kit's cross-hop tiles, ops/hier_dev.py)."""
+    nb = -(-m // B)
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
     rb, cb = rows // B, cols // B
     key = rb * nb + cb
     order = np.argsort(key, kind="stable")
