@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Large-sector benchmark: H·v on the Ns=16 flagship (2x2 plaquette + 3
-replica baths, half-filled sector C(16,8)^2 = 1.66e8 states) on one chip.
+"""Large-sector benchmark: H·v + ground-state solve on the Ns=16
+flagship (2x2 plaquette + 3 replica baths, half-filled sector
+C(16,8)^2 = 1.66e8 states) on one chip.
 
-This is the regime BASELINE.md names for multi-host sharding
-(/root/reference/ED_SETUP.f90:139-154) and the round-1 VERDICT's top item:
-previously it fell off a ~100-450x cliff onto the element-gather ELL
-kernel; it now runs the block-sparse (128x128 tile) SpMM of ops/large.py.
+Rows (one JSON line each, bench.py schema):
+* hier/tile f32 H·v and tile bf16 H·v — ``vs_baseline`` is the
+  fraction of 100 Gnnz/s (round-2..4 convention), plus an explicit
+  ``roofline_fraction`` against the 179 Gnnz/s HBM-SpMV line;
+* mixed-precision ground-state solve — f32 Krylov + f64 Rayleigh
+  refine ON ONE CHIP via the hierarchical kit (its f64 operator is
+  ~150 MB of tiles + KB-scale dense blocks vs 388 MB + emulation temps
+  for the combinadic tile kit, which OOMed in round 4), reporting the
+  EXPLICIT f64 residual of the retained vector, plus a warm second
+  solve (compile caches hot — the amortized DMFT-loop cost).
 
-Prints one JSON line (same schema as bench.py, different metric name) —
-run separately from bench.py; not part of the driver contract.
+``vs_baseline`` carries PERFORMANCE numbers only; energies/residuals
+live in named fields (round-4 VERDICT weak 4).
 """
 import json
 import sys
@@ -24,15 +31,16 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--solve", action="store_true",
-                    help="run a full mixed-precision ground-state solve "
-                         "of the Ns=16 sector (time-to-solution)")
-    ap.add_argument("--solve-f32", action="store_true",
-                    help="record the two-stage bf16+f32 solve directly "
-                         "(the f64 refine at Ns=16 needs multi-chip; "
-                         "in-process OOM recovery is unreliable on the "
-                         "tunnel runtime)")
+                    help="run the mixed-precision (f32 Krylov + f64 "
+                         "refine) ground-state solve of the Ns=16 "
+                         "sector on the hierarchical kit")
+    ap.add_argument("--hv-only", action="store_true")
     ap.add_argument("--ncv", type=int, default=10)
     ap.add_argument("--maxiter", type=int, default=120)
+    ap.add_argument("--vec-rtol", type=float, default=1e-8,
+                    help="refined-eigenvector residual target (1e-8 "
+                         "matches the recorded E0 tolerance; the "
+                         "production Sigma-grade default is 1e-10)")
     args = ap.parse_args()
 
     import os
@@ -43,185 +51,120 @@ def main():
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import __graft_entry__ as ge
-    from cdmft_lanc_ed_tpu.ops import large
+    from cdmft_lanc_ed_tpu.ops import hier_dev, large
 
     t0 = time.time()
     _, op = ge._plaquette_bath_op(nbath=3, nup=8, ndw=8)   # Ns=16
+    nnz = op.nnz
 
-    if args.solve or args.solve_f32:
+    if args.solve:
         from cdmft_lanc_ed_tpu.ops import lanczos
+        # TWO-KIT solve: f32/bf16 Krylov on the combinadic tile kernels
+        # (fastest measured f32 H·v), f64 Rayleigh refine on the
+        # hierarchical kit — its f64 operator (~150 MB tiles + KB dense
+        # blocks) + XLA emulation temps fit ONE 16 GB chip, where the
+        # combinadic tile kit's f64 build OOMed in round 4
         kit32 = large.build_real_padded_large(op, dtype=jnp.float32)
         dev32, dim_p, embed, extract = kit32
-        # f64 operator built LAZILY after the f32 Krylov stage (both
-        # operator stacks + the Krylov basis cannot coexist in 16 GB HBM
-        # at dim 1.66e8); the closure runs eagerly so the f64 arrays are
-        # runtime arguments, not compile-time constants.
-        _c = {}
-
-        def mv64(x):
-            # memory-lean chunked f64 apply: the eager formulation held
-            # 4-6 full f64 planes in transposes/stacked maps and pushed
-            # the refine over 16 GB at dim 1.66e8
-            if "op" not in _c:
-                _c["op"] = large.build_real_padded_large(
-                    op, dtype=jnp.float64)[0]
-            return large.apply_large_real_flat_lowmem(_c["op"], x)
-
-        rng = np.random.default_rng(0)
-        ddp, dup = dev32.diag.shape
-        v0 = np.zeros((ddp, dup), np.float32)
-        v0[:op.dim_dw, :op.dim_up] = rng.normal(
-            size=(op.dim_dw, op.dim_up)).astype(np.float32)
-        v0 = v0.reshape(-1)
-        t1 = time.time()
-        # vec_rtol matches the solve tolerance: this bench records
-        # time-to-GS-ENERGY at 1e-8 (eigenvalue error ~ resid^2/gap);
-        # the production default (1e-10, for vectors feeding Sigma)
-        # would force the full-f64 fallback at dim 1.66e8, where the
-        # HBM cap rules out refine expansion.
-        # two-stage Krylov: bf16 tiles for the cold restarts (~2x MXU),
-        # f32 once below bf16 resolution, f64 refine certifies
         dev16 = large.build_real_padded_large(op, dtype=jnp.bfloat16,
                                               reuse=dev32)[0]
-        # box-pop: the solver frees op32/op16 after the Krylov stage,
-        # which only works if this frame drops its own references
-        box = [dev32, dev16]
-        del kit32, dev32, dev16
-        prec_note = "bf16+f32 Krylov, f64-refined"
-        oom = bool(args.solve_f32)
-        try:
-            if oom:
-                raise RuntimeError("RESOURCE (requested --solve-f32)")
-            res = lanczos.lanczos_eigh_mixed_real(
-                large.apply_large_real_flat, mv64,
+        dev64, dim64, emb_h, ext_h = hier_dev.build_real_padded_hier(
+            op, dtype=jnp.float64)
+        conv = (lambda a: emb_h(extract(a)),
+                lambda a: embed(ext_h(a)), dim64)
+        rng = np.random.default_rng(0)
+        v0 = embed(rng.normal(size=op.dim).astype(np.float64))
+
+        def one_solve(v0v):
+            return lanczos.lanczos_eigh_mixed_real(
+                large.apply_large_real_flat,
+                hier_dev.apply_hier_real_flat,
                 dim_p, neigen=1, ncv=args.ncv, maxiter=args.maxiter,
-                tol=1e-8, v0=v0, op32=box.pop(0), op16=box.pop(0),
-                device_vectors=True, vec_rtol=1e-8)
-        except Exception as e:
-            if "RESOURCE" not in repr(e):
-                raise
-            import traceback
-            print("# f64-refined attempt OOM at:", file=sys.stderr)
-            for ln in traceback.format_exception(e):
-                if "/root/repo" in ln:
-                    print("#   " + ln.strip().splitlines()[0],
-                          file=sys.stderr)
-            sys.stderr.flush()
-            oom = True
-        if oom:
-            # the f64 refine at dim 1.7e8 needs the f64 operator + its
-            # emulation temps on top of the q/w planes — over 16 GB on
-            # one chip (BASELINE itself calls Ns=16 the multi-host
-            # regime).  Record the two-stage bf16+f32 solve instead,
-            # honestly labelled.  (Rebuild OUTSIDE the except block:
-            # the exception traceback pins the dead frames' buffers.)
-            print("# f64 refine does not fit one chip at Ns=16 — "
-                  "recording the two-stage bf16+f32 solve",
-                  file=sys.stderr, flush=True)
-            _c.clear()
-            import gc
-            gc.collect()
-            leak = sorted((a.nbytes for a in jax.live_arrays()),
-                          reverse=True)[:8]
-            print(f"# live device buffers after cleanup: "
-                  f"{[f'{b/1e9:.2f}GB' for b in leak]}",
-                  file=sys.stderr, flush=True)
-            for a in jax.live_arrays():
-                if a.nbytes > 1 << 28:
-                    a.delete()
-            box2 = [large.build_real_padded_large(op, dtype=jnp.float32)[0]]
-            box2.append(large.build_real_padded_large(
-                op, dtype=jnp.bfloat16, reuse=box2[0])[0])
-            t1 = time.time()
-            prec_note = "bf16+f32 Krylov (f32-grade E0; f64 refine is "                 "the multi-chip regime)"
-            res = lanczos.lanczos_eigh_real(
-                large.apply_large_real_flat, dim_p, neigen=1,
-                ncv=args.ncv, maxiter=args.maxiter, tol=2e-6, v0=v0,
-                op=box2.pop(0), op16=box2.pop(0), device_vectors=True,
-                dtype=jnp.float32)
+                tol=1e-8, v0=v0v, op32=dev32, op16=dev16, op64=dev64,
+                device_vectors=True, vec_rtol=args.vec_rtol,
+                convert64=conv)
+
+        t1 = time.time()
+        res = one_solve(v0)
         dt = time.time() - t1
+        # explicit f64 residual of the retained vector: ||Hx - E0 x||,
+        # computed through the f64 hier apply in ITS layout
+        x = conv[0](res.eigenvectors)[0].astype(jnp.float64)
+        w = hier_dev.apply_hier_real_flat(dev64, x)
+        e0 = float(res.eigenvalues[0])
+        resid = float(np.asarray(jnp.linalg.norm(w - e0 * x)
+                                 / jnp.linalg.norm(x)))
+        # warm second solve: same shapes, compile caches hot — the
+        # amortized cost inside a DMFT loop (VERDICT r4 item 4)
+        v0b = embed(rng.normal(size=op.dim).astype(np.float64))
+        t2 = time.time()
+        res2 = one_solve(v0b)
+        dt_warm = time.time() - t2
         print(json.dumps({
             "metric": "large_sector_ns16_gs_solve_s",
             "value": float(f"{dt:.4g}"), "unit": "s",
-            "vs_baseline": float(f"{res.eigenvalues[0]:.8f}"),
-            "precision": prec_note,
+            "vs_baseline": float(f"{240.8 / dt:.4g}"),
+            "warm_solve_s": float(f"{dt_warm:.4g}"),
+            "e0": float(f"{e0:.10f}"),
+            "e0_warm": float(f"{float(res2.eigenvalues[0]):.10f}"),
+            "f64_residual": float(f"{resid:.3g}"),
+            "nmv": int(res.iterations),
+            "converged": bool(res.converged),
+            "precision": "f32 Krylov + f64 Rayleigh refine (hier kit, "
+                         "single chip)",
         }))
-        print(f"# Ns=16 dim={op.dim} E0={res.eigenvalues[0]:.10f} "
-              f"nmv={res.iterations} converged={res.converged} "
-              f"build={t1-t0:.0f}s solve={dt:.1f}s "
-              f"(incl. first-shape compiles)", file=sys.stderr)
+        print(f"# Ns=16 dim={op.dim} E0={e0:.10f} resid={resid:.2e} "
+              f"nmv={res.iterations} cold={dt:.1f}s warm={dt_warm:.1f}s "
+              f"build={t1-t0:.0f}s", file=sys.stderr)
         return
-    dev = large.to_device_large_real(op, dtype=jnp.float32)
-    ddp, dup = dev.diag.shape
-    nnz = op.nnz
-    print(f"# build {time.time()-t0:.1f}s dim={op.dim} nnz={nnz} "
-          f"padded {ddp}x{dup} tiles dw={dev.dw_tiles.shape[0]} "
-          f"up={dev.up_tiles.shape[0]} pallas={large.pallas_blk_ok()}",
-          file=sys.stderr, flush=True)
 
-    # operator passed as a pytree ARGUMENT: closure-captured device arrays
-    # are baked into the HLO as constants (a 668 MB diag overflows the
-    # remote-compile request on this backend)
-    @partial(jax.jit, static_argnums=2)
-    def chain_op(d, x, steps):
+    # ---- H·v rows -------------------------------------------------------
+    @partial(jax.jit, static_argnums=(2, 3))
+    def chain_op(d, x, steps, which):
         def body(x, _):
-            w = large.matvec_large_real(d, x)
+            w = (hier_dev.matvec_hier_real(d, x) if which == "hier"
+                 else large.matvec_large_real(d, x))
             return w / jnp.linalg.norm(w), None
         c, _ = jax.lax.scan(body, x, None, length=steps)
         return c
 
-    def chain(x, steps):
-        return chain_op(dev, x, steps)
+    def row(name, dev, which, extra=None):
+        ddp, dup = dev.diag.shape
+        rng = np.random.default_rng(0)
+        x0 = np.zeros((ddp, dup), np.float32)
+        x0[:op.dim_dw, :op.dim_up] = (
+            rng.normal(size=(op.dim_dw, op.dim_up))
+            / np.sqrt(op.dim)).astype(np.float32)
+        x = jnp.asarray(x0)
+        dt, _ = per_step(lambda xx, s: chain_op(dev, xx, s, which), x,
+                         span=40, s_small=2,
+                         readback=lambda r: np.asarray(r[0, :8]),
+                         label=name)
+        out = {
+            "metric": f"large_sector_ns16_spmv_{name}_nnz_per_s",
+            "value": float(f"{nnz / dt:.4g}"), "unit": "nnz/s",
+            "vs_baseline": float(f"{nnz / dt / 1e9 / 100.0:.4g}"),
+            "roofline_fraction": float(f"{nnz / dt / 179e9:.4g}"),
+            "dt_ms_per_hv": float(f"{dt * 1e3:.4g}"),
+        }
+        if extra:
+            out.update(extra)
+        print(json.dumps(out))
+        return dt
 
-    rng = np.random.default_rng(0)
-    x0 = np.zeros((ddp, dup), np.float32)
-    x0[:op.dim_dw, :op.dim_up] = rng.normal(
-        size=(op.dim_dw, op.dim_up)).astype(np.float32) / np.sqrt(op.dim)
-    x = jnp.asarray(x0)
+    kit = hier_dev.build_real_padded_hier(op, dtype=jnp.float32)
+    devh = kit[0]
+    print(f"# build {time.time()-t0:.1f}s dim={op.dim} nnz={nnz} "
+          f"hier tiles dw={devh.dw.tiles.shape[0]} "
+          f"up={devh.up.tiles.shape[0]} pallas={large.pallas_blk_ok()}",
+          file=sys.stderr, flush=True)
+    row("hier_f32", devh, "hier")
+    del devh, kit
 
-    dt, _ = per_step(chain, x, span=40, s_small=2,
-                     readback=lambda r: np.asarray(r[0, :8]),
-                     label="large")
-    nnz_per_s = nnz / dt
-    # executed MXU FLOPs: per tile 2*B^2*minor per side
-    td, tu = dev.dw_tiles.shape[0], dev.up_tiles.shape[0]
-    flops = 2 * large.B * large.B * (td * dup + tu * ddp)
-    print(json.dumps({
-        "metric": "large_sector_ns16_spmv_nnz_per_s",
-        "value": float(f"{nnz_per_s:.4g}"),
-        "unit": "nnz/s",
-        "vs_baseline": float(f"{nnz_per_s / 1e9 / 100.0:.4g}"),
-        "dt_ms_per_hv": float(f"{dt*1e3:.4g}"),
-    }))
-    print(f"# dt={dt*1e3:.1f}ms/Hv executed_f32_tflops="
-          f"{flops/dt/1e12:.2f} device={jax.devices()[0].device_kind}",
-          file=sys.stderr)
-
-    # bf16-tile variant (the coarse stage of the two-stage Krylov: tiles
-    # and the x operand in bf16, f32 accumulation).  Reported as its own
-    # row; correctness vs the f32 kernel is ~1e-2 relative (certified
-    # downstream by the f64 refine).
-    dev16 = large.to_device_large_real(op, dtype=jnp.bfloat16)
-
-    def chain16(x, steps):
-        return chain_op(dev16, x, steps)
-
-    w32 = np.asarray(large.matvec_large_real(dev, x)[:op.dim_dw, :256])
-    w16 = np.asarray(large.matvec_large_real(dev16, x)[:op.dim_dw, :256])
-    rel = float(np.linalg.norm(w16 - w32) / max(np.linalg.norm(w32), 1e-30))
-    dt16, _ = per_step(chain16, x, span=40, s_small=2,
-                       readback=lambda r: np.asarray(r[0, :8]),
-                       label="large-bf16")
-    print(json.dumps({
-        "metric": "large_sector_ns16_spmv_bf16_nnz_per_s",
-        "value": float(f"{nnz / dt16:.4g}"),
-        "unit": "nnz/s",
-        "vs_baseline": float(f"{nnz / dt16 / 1e9 / 100.0:.4g}"),
-        "dt_ms_per_hv": float(f"{dt16*1e3:.4g}"),
-        "rel_err_vs_f32": float(f"{rel:.3g}"),
-    }))
-    print(f"# bf16 dt={dt16*1e3:.1f}ms/Hv speedup={dt/dt16:.2f}x "
-          f"rel_err={rel:.2e}", file=sys.stderr)
+    devt = large.to_device_large_real(op, dtype=jnp.float32)
+    row("tile_f32", devt, "tile")
+    devt16 = large.to_device_large_real(op, dtype=jnp.bfloat16)
+    row("tile_bf16", devt16, "tile")
 
 
 if __name__ == "__main__":

@@ -555,51 +555,68 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                 tol=cfg.lanc_tolerance, v0=v0, op=dev)
                     else:
                         # factors too large for the dense path: the
-                        # hierarchical A/B-factor kit (ops/hier_dev.py)
-                        # when the factors are pure one-body, else the
-                        # block-sparse tile kit (ops/large.py) — the
                         # Ns>=16 regime the reference serves with its
                         # MPI stored-CSR matvec
-                        # (ED_HAMILTONIAN_SPARSE_HxV.f90:230-315)
+                        # (ED_HAMILTONIAN_SPARSE_HxV.f90:230-315).
+                        # TWO-KIT scheme (measured, LARGE_BENCH_r05):
+                        # f32/bf16 Krylov on the combinadic tile
+                        # kernels (fastest f32 H·v: per-tile-step DMA
+                        # latency dominates and the hier cross tiles
+                        # run no faster), f64 refine/solve on the
+                        # hierarchical kit whose f64 operator +
+                        # emulation temps fit ONE chip at Ns=16
                         from .ops import hier_dev, large
-                        lr = hier_dev.build_real_padded_hier(
+                        hk64 = hier_dev.build_real_padded_hier(
                             op, dtype=jnp.float64)
-                        if lr is not None:
-                            build_r = hier_dev.build_real_padded_hier
-                            apply_r = hier_dev.apply_hier_real_flat
-                            use16 = False   # within-half stays f32;
-                            # cross tiles alone gain too little for a
-                            # coarse stage
-                        else:
-                            build_r = large.build_real_padded_large
-                            apply_r = large.apply_large_real_flat
-                            use16 = True
-                            lr = large.build_real_padded_large(
-                                op, dtype=jnp.float64)
-                        if lr is not None:
-                            dev, dim_p, embed, extract = lr
-                            v0 = embed(rng.normal(size=dim))
-                            # eigenvectors stay DEVICE-resident for
-                            # large sectors (no O(neigen*dim) host
-                            # round trip)
-                            if cfg.ed_precision == "mixed":
-                                dev32 = build_r(op, dtype=jnp.float32)[0]
+                        lr = large.build_real_padded_large(
+                            op, dtype=jnp.float64) \
+                            if (hk64 is None
+                                or cfg.ed_precision == "mixed") else None
+                        if hk64 is not None or lr is not None:
+                            if cfg.ed_precision == "mixed" \
+                                    and lr is not None:
+                                dev, dim_p, embed, extract = lr
+                                v0 = embed(rng.normal(size=dim))
+                                dev32 = large.build_real_padded_large(
+                                    op, dtype=jnp.float32)[0]
                                 # two-stage Krylov: bf16 tiles for the
-                                # cold restarts (~2x MXU MAC rate), f32
-                                # below bf16 resolution, f64 refine
-                                # certifies
-                                dev16 = build_r(
+                                # cold restarts (~2x MXU MAC rate),
+                                # f32 below bf16 resolution, f64
+                                # refine certifies
+                                dev16 = large.build_real_padded_large(
                                     op, dtype=jnp.bfloat16,
-                                    reuse=dev32)[0] if use16 else None
+                                    reuse=dev32)[0]
+                                conv = None
+                                mv64 = large.apply_large_real_flat
+                                op64 = dev
+                                if hk64 is not None:
+                                    dev64h, dim64, emb_h, ext_h = hk64
+                                    conv = (
+                                        lambda a: emb_h(extract(a)),
+                                        lambda a: embed(ext_h(a)),
+                                        dim64)
+                                    mv64 = hier_dev.apply_hier_real_flat
+                                    op64 = dev64h
+                                    dev = None      # tile f64 unused
                                 res = lanczos.lanczos_eigh_mixed_real(
-                                    apply_r, apply_r, dim_p,
-                                    neigen=neigen, ncv=nblock,
+                                    large.apply_large_real_flat, mv64,
+                                    dim_p, neigen=neigen, ncv=nblock,
                                     maxiter=nitermax * nblock,
                                     tol=cfg.lanc_tolerance, v0=v0,
-                                    op32=dev32, op64=dev, op16=dev16,
+                                    op32=dev32, op64=op64, op16=dev16,
                                     device_vectors=True,
-                                    vec_rtol=cfg.ed_mixed_vec_tol)
+                                    vec_rtol=cfg.ed_mixed_vec_tol,
+                                    convert64=conv)
                             else:
+                                if hk64 is not None:
+                                    dev, dim_p, embed, extract = hk64
+                                    apply_r = \
+                                        hier_dev.apply_hier_real_flat
+                                else:
+                                    dev, dim_p, embed, extract = lr
+                                    apply_r = \
+                                        large.apply_large_real_flat
+                                v0 = embed(rng.normal(size=dim))
                                 res = lanczos.lanczos_eigh_real(
                                     apply_r, dim_p,
                                     neigen=neigen, ncv=nblock,
@@ -607,28 +624,25 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                     tol=cfg.lanc_tolerance, v0=v0,
                                     op=dev, device_vectors=True)
                         else:
-                            pk = hier_dev.build_pair_padded_hier(
-                                op, dtype=jnp.float64)
-                            if pk is not None:
-                                build_p = hier_dev.build_pair_padded_hier
-                                apply_p = hier_dev.apply_hier_pair_flat
-                                use16 = False
-                            else:
-                                build_p = large.build_pair_padded_large
-                                apply_p = large.apply_large_pair_flat
-                                use16 = True
+                            # complex large sectors: mixed runs the
+                            # proven tile pair kernels end-to-end; a
+                            # pure-f64 solve prefers the hier pair kit
+                            # (fewer tiles -> smaller f64 emulation
+                            # temps)
+                            if cfg.ed_precision == "mixed":
                                 pk = large.build_pair_padded_large(
                                     op, dtype=jnp.float64)
-                            dev, _r, dim_p, embed, extract = pk
-                            v0 = embed(rng.normal(size=dim)
-                                       + 1j * rng.normal(size=dim))
-                            if cfg.ed_precision == "mixed":
-                                dev32 = build_p(op, dtype=jnp.float32)[0]
-                                dev16 = build_p(
+                                dev, _r, dim_p, embed, extract = pk
+                                v0 = embed(rng.normal(size=dim)
+                                           + 1j * rng.normal(size=dim))
+                                dev32 = large.build_pair_padded_large(
+                                    op, dtype=jnp.float32)[0]
+                                dev16 = large.build_pair_padded_large(
                                     op, dtype=jnp.bfloat16,
-                                    reuse=dev32)[0] if use16 else None
+                                    reuse=dev32)[0]
                                 res = lanczos.lanczos_eigh_mixed(
-                                    apply_p, apply_p, dim_p,
+                                    large.apply_large_pair_flat,
+                                    large.apply_large_pair_flat, dim_p,
                                     neigen=neigen, ncv=nblock,
                                     maxiter=nitermax * nblock,
                                     tol=cfg.lanc_tolerance, v0=v0,
@@ -636,6 +650,17 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                     device_vectors=True,
                                     vec_rtol=cfg.ed_mixed_vec_tol)
                             else:
+                                pk = hier_dev.build_pair_padded_hier(
+                                    op, dtype=jnp.float64)
+                                apply_p = hier_dev.apply_hier_pair_flat
+                                if pk is None:
+                                    pk = large.build_pair_padded_large(
+                                        op, dtype=jnp.float64)
+                                    apply_p = \
+                                        large.apply_large_pair_flat
+                                dev, _r, dim_p, embed, extract = pk
+                                v0 = embed(rng.normal(size=dim)
+                                           + 1j * rng.normal(size=dim))
                                 res = lanczos.lanczos_eigh_split(
                                     apply_p, dim_p,
                                     neigen=neigen, ncv=nblock,

@@ -121,6 +121,55 @@ def factor_dev_planes(f: hier.HierFactor, dtype=jnp.float32):
                   fd.tiles.real + fd.tiles.imag))
 
 
+def _dot_f32x3(a: jax.Array, x: jax.Array, dims) -> jax.Array:
+    """f32-fidelity dot via a MANUAL bf16x3 compensated product
+    (a_hi@x_hi + a_hi@x_lo + a_lo@x_hi, f32 accumulation).
+
+    Same arithmetic XLA's Precision.HIGHEST performs — but its
+    excess-precision rewrite materialises the hi/lo splits of the big
+    operand as stacked broadcast/remat temps (measured on the Ns=16
+    within-half dots: three f32[8,70,931840] allocations, ~6 GB, which
+    pushed the compiled program to 14.6 GB and OOMed the compile).
+    Splitting by hand keeps the temps at two bf16 copies of each
+    operand, which XLA fuses into the dot inputs."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(u, v):
+        return jax.lax.dot_general(u, v, dims,
+                                   preferred_element_type=jnp.float32)
+
+    return d(ah, xh) + d(ah, xl) + d(al, xh)
+
+
+_ROWDOT = (((1,), (0,)), ((), ()))
+
+
+def _within_dot(hmat: jax.Array, xb3: jax.Array) -> jax.Array:
+    """[p, a] x [a, b, m] -> [p, b, m] at f32 fidelity (f32 inputs) or
+    f64 (exact-emulation dot).  The f64 emulation materialises ~4x the
+    operand in hi/lo split temps, so f64 blocks run in b-axis chunks
+    that cap the temp at ~0.5 GB (the uncapped form needed 13.8 GB of
+    compile-time temps at the Ns=16 flagship)."""
+    if xb3.dtype == jnp.float32:
+        return _dot_f32x3(hmat.astype(jnp.float32), xb3, _ROWDOT)
+    h64 = hmat.astype(xb3.dtype)
+
+    def dot(xc):
+        return jax.lax.dot_general(
+            h64, xc, _ROWDOT, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=xb3.dtype)
+
+    a, b, m = xb3.shape
+    bc = max(1, int(5e8 // max(a * m * 8 * 4, 1)))
+    if b <= bc:
+        return dot(xb3)
+    parts = [dot(xb3[:, lo:lo + bc]) for lo in range(0, b, bc)]
+    return jnp.concatenate(parts, axis=1)
+
+
 def _apply_factor(fd: HierFactorDev, x: jax.Array) -> jax.Array:
     """y = F @ x with x [nb*B, minor] in padded hier ordering (one
     plane): dense within-half chain + band-kernel cross tiles."""
@@ -130,30 +179,56 @@ def _apply_factor(fd: HierFactorDev, x: jax.Array) -> jax.Array:
     nblk = len(ca)
     ha_of = dict(zip(ha_idx, fd.ha))
     hb_of = dict(zip(hb_idx, fd.hb))
-    # cross tiles first, then within-half blocks accumulated IN PLACE
-    # via dynamic-update-slice — a separate concat of the dense chain
-    # held two extra full planes at the Ns=16 flagship
-    y = large._blk_spmm(fd.rb, fd.cb, fd.fs, fd.tiles, x, nbb // B)
+    # within-half dense chain assembled by CONCAT along the row axis (a
+    # dynamic-update-slice chain does not alias on this backend —
+    # measured 7 full-plane copies per side at Ns=16), then one add
+    # with the cross-tile band-kernel output
+    parts = []
     for i in range(nblk):
         sz = ca[i] * cbs[i]
         if i not in ha_of and i not in hb_of:
+            parts.append(jnp.zeros((sz, m), x.dtype))
             continue
         xb = jax.lax.dynamic_slice_in_dim(x, offsets[i], sz, 0)
-        acc = jax.lax.dynamic_slice_in_dim(y, offsets[i], sz, 0)
+        acc = None
         if i in ha_of:
-            # [p,a] @ [a, cb*m]: contiguous, no transpose
-            acc = acc + jnp.dot(ha_of[i].astype(x.dtype),
-                                xb.reshape(ca[i], cbs[i] * m),
-                                preferred_element_type=x.dtype,
-                                precision=jax.lax.Precision.HIGHEST
-                                ).reshape(sz, m)
+            if ca[i] == 1:
+                # degenerate 1x1 block: scalar multiply, not a matmul
+                acc = ha_of[i][0, 0].astype(x.dtype) * xb
+            else:
+                # [p,a] x [a,b,m] -> [p,b,m]: contract over a with b,m
+                # as FREE dims — merging (b,m) into one axis looks the
+                # same to the MXU but the (rows, minor)->(a, b*minor)
+                # reshape is a tiled-layout repack that XLA materialised
+                # as three ~2 GB broadcast/remat temps per block
+                # (the round-5 compile-OOM root cause); splitting the
+                # LEADING axis (rows -> a,b) is layout-free
+                acc = _within_dot(
+                    ha_of[i], xb.reshape(ca[i], cbs[i], m)
+                ).reshape(sz, m)
         if i in hb_of:
-            xb3 = xb.reshape(ca[i], cbs[i], m)
-            acc = acc + jnp.einsum(
-                "qb,abm->aqm", hb_of[i].astype(x.dtype), xb3,
-                precision=jax.lax.Precision.HIGHEST).reshape(sz, m)
-        y = jax.lax.dynamic_update_slice(y, acc, (offsets[i], 0))
-    return y
+            if cbs[i] == 1:
+                yb = hb_of[i][0, 0].astype(x.dtype) * xb
+            else:
+                xb3 = xb.reshape(ca[i], cbs[i], m)
+                # contract b: [q,b] x [a,b,m] -> [q,a,m] -> [a,q,m]
+                dims = (((1,), (1,)), ((), ()))
+                if x.dtype == jnp.float32:
+                    yb = _dot_f32x3(hb_of[i].astype(jnp.float32), xb3,
+                                    dims)
+                else:
+                    yb = jax.lax.dot_general(
+                        hb_of[i].astype(x.dtype), xb3, dims,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=x.dtype)
+                yb = yb.transpose(1, 0, 2).reshape(sz, m)
+            acc = yb if acc is None else acc + yb
+        parts.append(acc)
+    if nbb > dim:
+        parts.append(jnp.zeros((nbb - dim, m), x.dtype))
+    return (jnp.concatenate(parts, axis=0)
+            + large._blk_spmm(fd.rb, fd.cb, fd.fs, fd.tiles, x,
+                              nbb // B))
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +273,18 @@ class HierPairOp:
         return cls(*children)
 
 
+def _mat_t(x: jax.Array) -> jax.Array:
+    """Materialised standard-layout transpose.  The within-half slices/
+    reshapes/dots must NOT consume a lazy x.T: XLA then propagates the
+    {0,1} layout into the block reshapes and lowers them as full-plane
+    repack/select chains (measured at the Ns=16 flagship: three
+    f32[8,70,931840] repack temps + four 676 MB layout copies — a
+    14.6 GB program that OOMs the compile).  The barrier pins one clean
+    transposed copy, exactly what the Pallas custom-call boundary did
+    implicitly for the tile-only kernel."""
+    return jax.lax.optimization_barrier(x.T)
+
+
 def matvec_hier_real(op: HierRealOp, x: jax.Array) -> jax.Array:
     """H·x, x [Ddp, Dup] hier-ordered: fused diagonal + dw factor in
     natural layout + up factor in transposed layout (same two-sided
@@ -205,7 +292,7 @@ def matvec_hier_real(op: HierRealOp, x: jax.Array) -> jax.Array:
     ED_HAMILTONIAN_SPARSE_HxV.f90:230-315, minus the network)."""
     out = op.diag * x
     out = out + _apply_factor(op.dw, x)
-    out = out + _apply_factor(op.up, x.T).T
+    out = out + _apply_factor(op.up, _mat_t(x)).T
     return out
 
 
@@ -214,9 +301,9 @@ def matvec_hier_pair(op: HierPairOp, xr: jax.Array, xi: jax.Array):
     p1 = _apply_factor(op.dw_r, xr)
     p2 = _apply_factor(op.dw_i, xi)
     p3 = _apply_factor(op.dw_s, xs)
-    q1 = _apply_factor(op.up_r, xr.T).T
-    q2 = _apply_factor(op.up_i, xi.T).T
-    q3 = _apply_factor(op.up_s, xs.T).T
+    q1 = _apply_factor(op.up_r, _mat_t(xr)).T
+    q2 = _apply_factor(op.up_i, _mat_t(xi)).T
+    q3 = _apply_factor(op.up_s, _mat_t(xs)).T
     out_r = op.diag * xr + (p1 - p2) + (q1 - q2)
     out_i = op.diag * xi + (p3 - p1 - p2) + (q3 - q1 - q2)
     return out_r, out_i
@@ -243,10 +330,12 @@ def _batched_real(dev: HierRealOp, x3: jax.Array) -> jax.Array:
     wide apply per side instead of B narrow ones)."""
     bb, ddp, dup = x3.shape
     out = dev.diag[None] * x3
-    x_dw = jnp.moveaxis(x3, 0, -1).reshape(ddp, dup * bb)
+    x_dw = jax.lax.optimization_barrier(
+        jnp.moveaxis(x3, 0, -1).reshape(ddp, dup * bb))
     out = out + jnp.moveaxis(
         _apply_factor(dev.dw, x_dw).reshape(ddp, dup, bb), -1, 0)
-    x_up = x3.transpose(2, 1, 0).reshape(dup, ddp * bb)
+    x_up = jax.lax.optimization_barrier(
+        x3.transpose(2, 1, 0).reshape(dup, ddp * bb))
     out = out + _apply_factor(dev.up, x_up).reshape(dup, ddp, bb) \
         .transpose(2, 1, 0)
     return out

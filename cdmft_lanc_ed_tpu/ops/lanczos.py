@@ -1249,12 +1249,21 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
                             seed: int = 8527, op32=None,
                             op64=None, device_vectors: bool = False,
                             vec_rtol: Optional[float] = None,
-                            op16=None) -> EighResult:
+                            op16=None, convert64=None) -> EighResult:
     """Mixed-precision real-plane eigensolver (see
     :func:`lanczos_eigh_mixed`).  ``op32``/``op64`` select the pure
     apply(op, x) form for the two precisions; ``device_vectors`` keeps the
     Krylov output and the refined Ritz vectors device-resident (large
-    sectors)."""
+    sectors).
+
+    ``convert64=(to64, from64, dim64)``: the f64 refine may run in a
+    DIFFERENT vector layout than the f32 Krylov stage — the two-kit
+    scheme runs the f32 stage on the combinadic tile kernels (fastest
+    measured f32 H·v) and the refine on the hierarchical kit (whose f64
+    operator + emulation temps fit a single chip at Ns=16).  ``to64``/
+    ``from64`` map [k, dim] <-> [k, dim64] row batches (one-off
+    conversions at the stage boundary, not per matvec).  Requires
+    ``device_vectors``."""
     f32_tol = max(tol, 2e-6)
     res32 = lanczos_eigh_real(matvec_real32, dim, neigen=neigen, ncv=ncv,
                               maxiter=maxiter, tol=f32_tol, v0=v0,
@@ -1266,9 +1275,15 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     # references — e.g. the box-pop pattern in bench_large)
     op32 = op16 = None
     rtol = _mixed_vec_rtol(vec_rtol)
+    if convert64 is not None:
+        assert device_vectors, "convert64 requires device_vectors"
+        to64, from64, dim64 = convert64
+    else:
+        to64 = from64 = (lambda a: a)
+        dim64 = dim
     if device_vectors:
         theta, vecs, resid = rayleigh_refine_real_device(
-            matvec_real64, res32.eigenvectors, neigen, op64=op64,
+            matvec_real64, to64(res32.eigenvectors), neigen, op64=op64,
             rtol=rtol)
     else:
         mv64 = (matvec_real64 if op64 is None
@@ -1284,16 +1299,16 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
         # what the f64 basis can afford (1.34 GB/row at Ns=16).
         from ..utils.membudget import budget_bytes
         ncv_fb = min(ncv, max(neigen + 2,
-                              int(budget_bytes(0.33) / (dim * 8)) - 1))
+                              int(budget_bytes(0.33) / (dim64 * 8)) - 1))
         v0_64 = np.asarray(vecs[0])
-        res64 = lanczos_eigh_real(matvec_real64, dim, neigen=neigen,
+        res64 = lanczos_eigh_real(matvec_real64, dim64, neigen=neigen,
                                   ncv=ncv_fb, maxiter=maxiter,
                                   tol=max(tol, _f64_dot_floor()),
                                   v0=v0_64, seed=seed, op=op64,
                                   device_vectors=device_vectors)
-        return EighResult(res64.eigenvalues, res64.eigenvectors,
+        return EighResult(res64.eigenvalues, from64(res64.eigenvectors),
                           nmv + res64.iterations, res64.converged)
-    return EighResult(theta, vecs, nmv, True)
+    return EighResult(theta, from64(vecs), nmv, True)
 
 
 

@@ -408,7 +408,8 @@ def _pallas_blk_spmm_call(rb, cb, fs, tiles, x, nb_out: int, tn: int):
     return y[:nb_out * B] if nb_sup * SUP != nb_out else y
 
 
-_PALLAS_TN = 512
+import os as _os
+_PALLAS_TN = int(_os.environ.get("CDMFT_PALLAS_TN", "512"))
 _pallas_blk_ok_cache: dict = {}
 
 

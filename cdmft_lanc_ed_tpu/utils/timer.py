@@ -20,9 +20,14 @@ class Timers:
 
     @contextmanager
     def __call__(self, name: str):
+        # timed solver stages double as dispatch-count attribution
+        # buckets (utils/dispatch.py; counting is off unless a bench
+        # enabled it)
+        from . import dispatch
         t0 = time.time()
         try:
-            yield
+            with dispatch.stage(name):
+                yield
         finally:
             dt = time.time() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
