@@ -309,21 +309,23 @@ def _fused_restart_expand_real(apply_fn):
     def step(op, b, s_k, k):
         ncv1 = b.shape[0]
         ncv = ncv1 - 1
+        kk = s_k.shape[1]     # STATIC restart size (constant per solve)
 
-        def do_restart(b):
-            # rows: nb[e] = sum_r s_k[r, e] b[r]; s_k columns >= k are
-            # zero, so rows >= k of the rotated basis vanish and the
-            # residual row lands at (traced) index k
-            def body(r, acc):
-                return acc + s_k[r][:, None] * b[r][None, :]
+        # nb[e] = sum_r s_k[r, e] b[r], only the kk kept Ritz rows,
+        # written IN PLACE into the donated basis (rows > kk stay stale
+        # and are masked out of the CGS projections until the expansion
+        # overwrites them).  Runs UNconditionally — a lax.cond around
+        # the carry forces a non-aliased copy of the whole basis (an
+        # extra 10 GB at Ns=16/ncv=10); the first round passes the
+        # identity rotation instead.
+        def body(r, acc):
+            return acc + s_k[r][:, None] * b[r][None, :]
 
-            nb = jax.lax.fori_loop(
-                0, ncv, body, jnp.zeros((ncv, b.shape[1]), b.dtype))
-            last = b[ncv]
-            out = jnp.zeros_like(b).at[:ncv].set(nb)
-            return jax.lax.dynamic_update_slice(out, last[None], (k, 0))
-
-        b = jax.lax.cond(k > 0, do_restart, lambda b: b, b)
+        nb = jax.lax.fori_loop(
+            0, ncv, body, jnp.zeros((kk, b.shape[1]), b.dtype))
+        last = b[ncv]
+        b = jax.lax.dynamic_update_slice(b, nb, (0, 0))
+        b = b.at[kk].set(jnp.where(k > 0, last, b[kk]))
 
         def do_step(args):
             b, j = args
@@ -511,24 +513,59 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
     basis = _basis_init(ncv + 1, dim, dtype)(jnp.asarray(v0, dtype))
     t_proj = np.zeros((ncv, ncv))
     apply_fn, opd, cached = _as_applier(matvec_real, op)
-    fused = (_fused_restart_expand_real(apply_fn) if cached
-             else _fused_restart_expand_real.__wrapped__(apply_fn))
+    # fused single-call restart rounds for small/medium bases (the
+    # dispatch-latency regime of the DMFT loop); GIANT bases keep the
+    # classic split calls — the fused form's in-jit rotation defeats
+    # the donated-basis aliasing and duplicates the dominant HBM term
+    # (measured: +10 GB at Ns=16/ncv=10)
+    fused_mode = (ncv + 1) * dim * np.dtype(
+        np.dtype(dtype).name).itemsize <= (1 << 30)
+    if fused_mode:
+        fused = (_fused_restart_expand_real(apply_fn) if cached
+                 else _fused_restart_expand_real.__wrapped__(apply_fn))
+    else:
+        expand = (_expand_block_real(apply_fn) if cached
+                  else _expand_block_real.__wrapped__(apply_fn))
     restart_basis = _restart_real
 
     k = 0
     nmv = 0
     stall = _StallGuard()
     coarse = op16 is not None
-    s_dev = jnp.zeros((ncv, ncv), dtype)
+    kfix = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+    s_dev = jnp.asarray(np.eye(ncv, kfix), dtype) if fused_mode else None
+    s_host = None
     while True:
-        # ONE device call per restart round: rotate-restart (masked
-        # Ritz columns from the previous round) + CGS2 expansion, one
-        # packed transfer back (utils/dispatch.py counts the win)
-        basis, packed = fused(op16 if coarse else opd, basis, s_dev, k)
-        _dispatch.tick("lanczos.fused_round")
-        arr = np.asarray(packed)
-        cs = arr[:ncv]
-        betas_np = arr[ncv]
+        if fused_mode:
+            # ONE device call per restart round: rotate-restart (the
+            # kept Ritz columns from the previous round) + CGS2
+            # expansion, one packed transfer back (utils/dispatch.py
+            # counts the win)
+            basis, packed = fused(op16 if coarse else opd, basis,
+                                  s_dev, k)
+            _dispatch.tick("lanczos.fused_round")
+            arr = np.asarray(packed)
+            cs = arr[:ncv]
+            betas_np = arr[ncv]
+        else:
+            if k > 0:
+                # classic aliasing-safe restart: rotate + pack in
+                # separate calls, old basis released in between (the
+                # peak-HBM pattern of the r4 large-sector solve)
+                sj = jnp.asarray(np.ascontiguousarray(s_host[:, :k]),
+                                 dtype)
+                nb = restart_basis(basis, sj)
+                last_row = basis[ncv]
+                basis = None
+                _dispatch.tick("lanczos.restart", 2)
+                basis = _basis_restart_pack(ncv + 1, k, dtype)(
+                    nb, last_row)
+                del nb, last_row
+            basis, cs_d, betas_d = expand(op16 if coarse else opd,
+                                          basis, k)
+            _dispatch.tick("lanczos.expand")
+            cs = np.asarray(cs_d)
+            betas_np = np.asarray(betas_d)
         for j in range(k, ncv):
             t_proj[: j + 1, j] = cs[j][: j + 1]
             t_proj[j, : j + 1] = cs[j][: j + 1]
@@ -574,12 +611,13 @@ def lanczos_eigh_real(matvec_real, dim: int, neigen: int, ncv: int,
             return EighResult(theta[:neigen].copy(), vecs, nmv,
                               _conv_ok(conv, rel, eps, dim))
 
-        k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
-        # the restart itself happens ON DEVICE at the start of the next
-        # fused round; only the masked Ritz rotation ships up (tiny)
-        s_pad = np.zeros((ncv, ncv))
-        s_pad[:, :k] = s[:, :k]
-        s_dev = jnp.asarray(s_pad, dtype)
+        k = kfix
+        # the restart happens ON DEVICE at the start of the next round
+        if fused_mode:
+            s_dev = jnp.asarray(np.ascontiguousarray(s[:, :kfix]),
+                                dtype)
+        else:
+            s_host = s
         t_proj[:] = 0.0
         t_proj[:k, :k] = np.diag(theta[:k])
         b_row = last_beta * s[-1, :k]
@@ -641,16 +679,15 @@ def _fused_restart_expand_real_batched(apply_fn):
         nb = bas.shape[0]
         ncv1 = bas.shape[1]
         ncv = ncv1 - 1
+        kk = s_k.shape[2]     # STATIC restart size
 
-        def do_restart(bas):
-            rot = jnp.einsum("bnk,bnd->bkd", s_k, bas[:, :ncv],
-                             precision=P)
-            last = bas[:, ncv]
-            out = jnp.zeros_like(bas).at[:, :ncv].set(rot)
-            return jax.lax.dynamic_update_slice(
-                out, last[:, None], (0, k, 0))
-
-        bas = jax.lax.cond(k > 0, do_restart, lambda b: b, bas)
+        # unconditional in-place rotation (identity on round 1): a
+        # lax.cond around the carry copies the whole basis stack
+        rot = jnp.einsum("bnk,bnd->bkd", s_k, bas[:, :ncv],
+                         precision=P)            # [B, kk, dim]
+        last = bas[:, ncv]
+        bas = jax.lax.dynamic_update_slice(bas, rot, (0, 0, 0))
+        bas = bas.at[:, kk].set(jnp.where(k > 0, last, bas[:, kk]))
 
         def do_step(args):
             bb, j = args
@@ -739,7 +776,9 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
     k = 0
     nmv = 0
     stall = _StallGuard()
-    s_dev = bput(jnp.zeros((b, ncv, ncv), dtype))
+    kfix = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+    s_dev = bput(jnp.asarray(
+        np.broadcast_to(np.eye(ncv, kfix), (b, ncv, kfix)), dtype))
     while True:
         basis, packed = fused(opd, basis, s_dev, k)
         _dispatch.tick("lanczos.fused_round")
@@ -777,11 +816,10 @@ def lanczos_eigh_real_batched(matvec_batched, nbatch: int, dim: int,
                 _conv_ok(conv[i:i + 1], rel[i], eps, dim))
                 for i in range(b)]
 
-        k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+        k = kfix
         # restart runs on device inside the next fused round
-        s_pad = np.zeros((b, ncv, ncv))
-        s_pad[:, :, :k] = s[:, :, :k]
-        s_dev = bput(jnp.asarray(s_pad, dtype))
+        s_dev = bput(jnp.asarray(
+            np.ascontiguousarray(s[:, :, :kfix]), dtype))
         t_proj[:] = 0.0
         idx = np.arange(k)
         t_proj[:, idx, idx] = theta[:, :k]
@@ -859,24 +897,19 @@ def _fused_restart_expand_split_batched(apply_fn):
     def step(op, br, bi, sr_k, si_k, k):
         ncv1 = br.shape[1]
         ncv = ncv1 - 1
+        kk = sr_k.shape[2]    # STATIC restart size (in-place rotation)
 
-        def do_restart(args):
-            br, bi = args
-            vr, vi = br[:, :ncv], bi[:, :ncv]
-            nr = jnp.einsum("bnk,bnd->bkd", sr_k, vr, precision=P) \
-                - jnp.einsum("bnk,bnd->bkd", si_k, vi, precision=P)
-            ni = jnp.einsum("bnk,bnd->bkd", sr_k, vi, precision=P) \
-                + jnp.einsum("bnk,bnd->bkd", si_k, vr, precision=P)
-            lr, li = br[:, ncv], bi[:, ncv]
-            obr = jnp.zeros_like(br).at[:, :ncv].set(nr)
-            obi = jnp.zeros_like(bi).at[:, :ncv].set(ni)
-            obr = jax.lax.dynamic_update_slice(obr, lr[:, None],
-                                               (0, k, 0))
-            obi = jax.lax.dynamic_update_slice(obi, li[:, None],
-                                               (0, k, 0))
-            return obr, obi
-
-        br, bi = jax.lax.cond(k > 0, do_restart, lambda a: a, (br, bi))
+        # unconditional in-place rotation (identity on round 1)
+        vr, vi = br[:, :ncv], bi[:, :ncv]
+        nr = jnp.einsum("bnk,bnd->bkd", sr_k, vr, precision=P) \
+            - jnp.einsum("bnk,bnd->bkd", si_k, vi, precision=P)
+        ni = jnp.einsum("bnk,bnd->bkd", sr_k, vi, precision=P) \
+            + jnp.einsum("bnk,bnd->bkd", si_k, vr, precision=P)
+        lr, li = br[:, ncv], bi[:, ncv]
+        br = jax.lax.dynamic_update_slice(br, nr, (0, 0, 0))
+        br = br.at[:, kk].set(jnp.where(k > 0, lr, br[:, kk]))
+        bi = jax.lax.dynamic_update_slice(bi, ni, (0, 0, 0))
+        bi = bi.at[:, kk].set(jnp.where(k > 0, li, bi[:, kk]))
         br, bi, crs, cis, betas = inner(op, br, bi, k)
         return br, bi, jnp.concatenate(
             [crs, cis, betas[:, :, None]], axis=2)
@@ -935,8 +968,10 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
     k = 0
     nmv = 0
     stall = _StallGuard()
-    sr_dev = bput(jnp.zeros((b, ncv, ncv), dtype))
-    si_dev = bput(jnp.zeros((b, ncv, ncv), dtype))
+    kfix = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+    sr_dev = bput(jnp.asarray(
+        np.broadcast_to(np.eye(ncv, kfix), (b, ncv, kfix)), dtype))
+    si_dev = bput(jnp.zeros((b, ncv, kfix), dtype))
     while True:
         br, bi, packed = fused(opd, br, bi, sr_dev, si_dev, k)
         _dispatch.tick("lanczos.fused_round")
@@ -979,14 +1014,11 @@ def lanczos_eigh_split_batched(matvec_pair_batched, nbatch: int, dim: int,
                 _conv_ok(conv[i:i + 1], rel[i], eps, dim))
                 for i in range(b)]
 
-        k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+        k = kfix
         # restart runs on device inside the next fused round
-        s_pad = np.zeros((b, ncv, ncv), np.complex128)
-        s_pad[:, :, :k] = s[:, :, :k]
-        sr_dev = bput(jnp.asarray(np.ascontiguousarray(s_pad.real),
-                                  dtype))
-        si_dev = bput(jnp.asarray(np.ascontiguousarray(s_pad.imag),
-                                  dtype))
+        sk = s[:, :, :kfix]
+        sr_dev = bput(jnp.asarray(np.ascontiguousarray(sk.real), dtype))
+        si_dev = bput(jnp.asarray(np.ascontiguousarray(sk.imag), dtype))
         t_proj[:] = 0.0
         idx = np.arange(k)
         t_proj[:, idx, idx] = theta[:, :k]
@@ -1272,8 +1304,12 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
     # free the Krylov-stage operators before the f64 refine: at Ns=16 the
     # f32 diag alone is 668 MB and the refine adds q/w f64 planes + the
     # f64 operator (callers should pass these without keeping their own
-    # references — e.g. the box-pop pattern in bench_large)
+    # references — e.g. the box-pop pattern in bench_large).  ``op64``
+    # may be a zero-arg callable built LAZILY here, so the f32 and f64
+    # operators never coexist in HBM.
     op32 = op16 = None
+    if callable(op64):
+        op64 = op64()
     rtol = _mixed_vec_rtol(vec_rtol)
     if convert64 is not None:
         assert device_vectors, "convert64 requires device_vectors"
@@ -1881,28 +1917,25 @@ def _fused_restart_expand_split(apply_fn):
     def step(op, br, bi, sr_k, si_k, k):
         ncv1 = br.shape[0]
         ncv = ncv1 - 1
+        kk = sr_k.shape[1]    # STATIC restart size (in-place rotation)
 
-        def do_restart(args):
-            br, bi = args
+        # unconditional in-place rotation (identity on round 1; see
+        # the real-plane factory)
+        def body(r, accs):
+            nr, ni = accs
+            nr = nr + sr_k[r][:, None] * br[r][None, :] \
+                - si_k[r][:, None] * bi[r][None, :]
+            ni = ni + sr_k[r][:, None] * bi[r][None, :] \
+                + si_k[r][:, None] * br[r][None, :]
+            return nr, ni
 
-            def body(r, accs):
-                nr, ni = accs
-                nr = nr + sr_k[r][:, None] * br[r][None, :] \
-                    - si_k[r][:, None] * bi[r][None, :]
-                ni = ni + sr_k[r][:, None] * bi[r][None, :] \
-                    + si_k[r][:, None] * br[r][None, :]
-                return nr, ni
-
-            z = jnp.zeros((ncv, br.shape[1]), br.dtype)
-            nr, ni = jax.lax.fori_loop(0, ncv, body, (z, z))
-            lr, li = br[ncv], bi[ncv]
-            obr = jnp.zeros_like(br).at[:ncv].set(nr)
-            obi = jnp.zeros_like(bi).at[:ncv].set(ni)
-            obr = jax.lax.dynamic_update_slice(obr, lr[None], (k, 0))
-            obi = jax.lax.dynamic_update_slice(obi, li[None], (k, 0))
-            return obr, obi
-
-        br, bi = jax.lax.cond(k > 0, do_restart, lambda a: a, (br, bi))
+        z = jnp.zeros((kk, br.shape[1]), br.dtype)
+        nr, ni = jax.lax.fori_loop(0, ncv, body, (z, z))
+        lr, li = br[ncv], bi[ncv]
+        br = jax.lax.dynamic_update_slice(br, nr, (0, 0))
+        br = br.at[kk].set(jnp.where(k > 0, lr, br[kk]))
+        bi = jax.lax.dynamic_update_slice(bi, ni, (0, 0))
+        bi = bi.at[kk].set(jnp.where(k > 0, li, bi[kk]))
         br, bi, crs, cis, betas = inner(op, br, bi, k)
         return br, bi, jnp.concatenate([crs, cis, betas[None, :]],
                                        axis=0)
@@ -1939,8 +1972,16 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
     bi = _basis_init(ncv + 1, dim, dtype)(jnp.asarray(v0[1], dtype))
     t_proj = np.zeros((ncv, ncv), dtype=np.complex128)
     apply_fn, opd, cached = _as_applier(matvec_pair, op)
-    fused = (_fused_restart_expand_split(apply_fn) if cached
-             else _fused_restart_expand_split.__wrapped__(apply_fn))
+    # see lanczos_eigh_real: fused single-call rounds below the HBM
+    # threshold, classic aliasing-safe split calls above it
+    fused_mode = 2 * (ncv + 1) * dim * np.dtype(
+        np.dtype(dtype).name).itemsize <= (1 << 30)
+    if fused_mode:
+        fused = (_fused_restart_expand_split(apply_fn) if cached
+                 else _fused_restart_expand_split.__wrapped__(apply_fn))
+    else:
+        expand = (_expand_block_split(apply_fn) if cached
+                  else _expand_block_split.__wrapped__(apply_fn))
 
     restart_basis = _restart_split
 
@@ -1948,19 +1989,40 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
     nmv = 0
     stall = _StallGuard()
     coarse = op16 is not None
-    sr_dev = jnp.zeros((ncv, ncv), dtype)
-    si_dev = jnp.zeros((ncv, ncv), dtype)
+    kfix = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+    sr_dev = jnp.asarray(np.eye(ncv, kfix), dtype) if fused_mode else None
+    si_dev = jnp.zeros((ncv, kfix), dtype) if fused_mode else None
+    s_host = None
     while True:
-        # ONE device call per restart round (rotate-restart + CGS2
-        # expansion) and one packed transfer — latency-critical over a
-        # tunnel (utils/dispatch.py counts)
-        br, bi, packed = fused(op16 if coarse else opd, br, bi,
-                               sr_dev, si_dev, k)
-        _dispatch.tick("lanczos.fused_round")
-        arr = np.asarray(packed)
-        crs = arr[:ncv]
-        cis = arr[ncv:2 * ncv]
-        betas_np = arr[2 * ncv]
+        if fused_mode:
+            # ONE device call per restart round (rotate-restart + CGS2
+            # expansion) and one packed transfer — latency-critical
+            # over a tunnel (utils/dispatch.py counts)
+            br, bi, packed = fused(op16 if coarse else opd, br, bi,
+                                   sr_dev, si_dev, k)
+            _dispatch.tick("lanczos.fused_round")
+            arr = np.asarray(packed)
+            crs = arr[:ncv]
+            cis = arr[ncv:2 * ncv]
+            betas_np = arr[2 * ncv]
+        else:
+            if k > 0:
+                sj = s_host[:, :k]
+                sr = jnp.asarray(np.ascontiguousarray(sj.real), dtype)
+                si = jnp.asarray(np.ascontiguousarray(sj.imag), dtype)
+                nr, ni = restart_basis(br, bi, sr, si)
+                last_r, last_i = br[ncv], bi[ncv]
+                br = bi = None
+                _dispatch.tick("lanczos.restart", 3)
+                br = _basis_restart_pack(ncv + 1, k, dtype)(nr, last_r)
+                bi = _basis_restart_pack(ncv + 1, k, dtype)(ni, last_i)
+                del nr, ni, last_r, last_i
+            br, bi, crs_d, cis_d, betas_d = expand(
+                op16 if coarse else opd, br, bi, k)
+            _dispatch.tick("lanczos.expand")
+            crs = np.asarray(crs_d)
+            cis = np.asarray(cis_d)
+            betas_np = np.asarray(betas_d)
         for j in range(k, ncv):
             col = crs[j] + 1j * cis[j]
             t_proj[: j + 1, j] = col[: j + 1]
@@ -2010,12 +2072,14 @@ def lanczos_eigh_split(matvec_pair, dim: int, neigen: int, ncv: int,
             return EighResult(theta[:neigen].copy(), vecs, nmv,
                               _conv_ok(conv, rel, eps, dim))
 
-        k = min(neigen + max(neigen, (ncv - neigen) // 2), ncv - 1)
+        k = kfix
         # restart runs on device inside the next fused round
-        s_pad = np.zeros((ncv, ncv), np.complex128)
-        s_pad[:, :k] = s[:, :k]
-        sr_dev = jnp.asarray(np.ascontiguousarray(s_pad.real), dtype)
-        si_dev = jnp.asarray(np.ascontiguousarray(s_pad.imag), dtype)
+        if fused_mode:
+            sk = s[:, :kfix]
+            sr_dev = jnp.asarray(np.ascontiguousarray(sk.real), dtype)
+            si_dev = jnp.asarray(np.ascontiguousarray(sk.imag), dtype)
+        else:
+            s_host = s
         t_proj[:] = 0.0
         t_proj[:k, :k] = np.diag(theta[:k])
         b_row = last_beta * s[-1, :k].conj()
