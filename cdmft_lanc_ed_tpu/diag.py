@@ -595,7 +595,8 @@ def diagonalize_impurity(state: DiagState, build: SectorBuilder,
                                         lambda a: emb_h(extract(a)),
                                         lambda a: embed(ext_h(a)),
                                         dim64)
-                                    mv64 = hier_dev.apply_hier_real_flat
+                                    mv64 = hier_dev \
+                                        .apply_hier_real_flat_lowmem
                                     op64 = dev64h
                                     dev = None      # tile f64 unused
                                 res = lanczos.lanczos_eigh_mixed_real(

@@ -33,6 +33,7 @@ one-body recovery below then returns None and callers fall back.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -313,6 +314,53 @@ def matvec_hier_pair(op: HierPairOp, xr: jax.Array, xi: jax.Array):
 
 def apply_hier_real_flat(dev: HierRealOp, x: jax.Array) -> jax.Array:
     return matvec_hier_real(dev, x.reshape(dev.diag.shape)).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("nch",))
+def _matvec_hier_real_lowmem_jit(dev, x, nch: int):
+    ddp, dup = x.shape
+    cw = dup // nch
+    rw = ddp // nch
+    out = dev.diag * x
+
+    def dw_body(i, acc):
+        xc = jax.lax.dynamic_slice(x, (0, i * cw), (ddp, cw))
+        yc = _apply_factor(dev.dw, xc)
+        upd = jax.lax.dynamic_slice(acc, (0, i * cw), (ddp, cw)) + yc
+        return jax.lax.dynamic_update_slice(acc, upd, (0, i * cw))
+
+    out = jax.lax.fori_loop(0, nch, dw_body, out)
+
+    def up_body(i, acc):
+        xr = jax.lax.dynamic_slice(x, (i * rw, 0), (rw, dup))
+        yr = _apply_factor(dev.up, jax.lax.optimization_barrier(xr.T)).T
+        upd = jax.lax.dynamic_slice(acc, (i * rw, 0), (rw, dup)) + yr
+        return jax.lax.dynamic_update_slice(acc, upd, (i * rw, 0))
+
+    return jax.lax.fori_loop(0, nch, up_body, out)
+
+
+def apply_hier_real_flat_lowmem(dev: HierRealOp, x: jax.Array,
+                                nch: int = None) -> jax.Array:
+    """Memory-lean H·x: the two factor sides run in column/row chunks
+    inside one jit (the within-half chain and the cross tiles are both
+    pure ROW operations, so the minor axis chunks freely) — peak extra
+    HBM is O(dim/nch) instead of several full planes.  This is the f64
+    REFINE matvec at the Ns=16 flagship: the full-plane f64 apply's
+    transients (~8 GB) did not fit next to the refine state on one
+    chip (same lever as large.matvec_large_real_lowmem, r4)."""
+    x2 = x.reshape(dev.diag.shape)
+    if nch is None:
+        nch = 1
+        # chunk so the per-chunk transients stay well under 1 GB
+        itemsize = np.dtype(x2.dtype.name).itemsize
+        while (x2.size // nch) * itemsize * 4 > 8e8 \
+                and x2.shape[0] % (nch * 2) == 0 \
+                and x2.shape[1] % (nch * 2) == 0:
+            nch *= 2
+    if nch == 1:
+        return matvec_hier_real(dev, x2).reshape(-1)
+    return _matvec_hier_real_lowmem_jit(dev, x2, nch).reshape(-1)
 
 
 def apply_hier_pair_flat(dev: HierPairOp, xr, xi):

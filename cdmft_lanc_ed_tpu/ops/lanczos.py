@@ -1210,6 +1210,13 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
     ``max_expand`` rounds / the HBM cap).
     Returns (theta [ne], new_vecs [ne, dim] DEVICE, resid [ne])."""
     apply_fn, opd, _ = _as_applier(matvec_real64, op64)
+    import os as _os
+    if _os.environ.get("CDMFT_DEBUG_REFINE"):
+        _live = sorted((a.nbytes for a in jax.live_arrays()),
+                       reverse=True)
+        print(f"# refine entry: live={sum(_live)/1e9:.2f}GB "
+              f"top={[round(b_/1e9, 2) for b_ in _live[:10]]}",
+              flush=True)
     v0 = jnp.asarray(vecs, jnp.float64)                # [k0, dim]
     k0, dim = v0.shape
     ne = min(neigen, k0)
@@ -1220,13 +1227,19 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
     # backend (observed 5.3 GB at dim 1.66e8); chunked accumulation keeps
     # the temp at chunk size.  g/hk grow incrementally on the host.
     w0 = jnp.stack([apply_fn(opd, v0[j]) for j in range(k0)])
-    v = jnp.zeros((kalloc, dim), jnp.float64).at[:k0].set(v0)
-    w = jnp.zeros((kalloc, dim), jnp.float64).at[:k0].set(w0)
+    jax.block_until_ready(w0)     # surface async OOMs at their source
     g = np.zeros((kalloc, kalloc))
     hk = np.zeros((kalloc, kalloc))
     g[:k0, :k0] = np.asarray(_gram_chunked(v0, v0))
     hk[:k0, :k0] = np.asarray(_gram_chunked(v0, w0))
-    del v0, w0
+    # grams first, then the padded planes one at a time with the seed
+    # rows freed in between; jnp.pad instead of zeros().at[].set — the
+    # eager at-set allocates BOTH the zeros buffer and the copy (2x the
+    # plane per set, the OOM margin at the Ns=16 flagship)
+    v = jnp.pad(v0, ((0, kalloc - k0), (0, 0)))
+    del v0
+    w = jnp.pad(w0, ((0, kalloc - k0), (0, 0)))
+    del w0
     k_act = k0
     theta = x = resid = None
     rstall = _RefineStall()
@@ -1318,15 +1331,29 @@ def lanczos_eigh_mixed_real(matvec_real32, matvec_real64, dim: int,
         to64 = from64 = (lambda a: a)
         dim64 = dim
     if device_vectors:
+        ev32 = res32.eigenvectors
+        nmv32 = res32.iterations + ev32.shape[0]
+        res32 = None
+        ev64 = to64(ev32)
+        ev32 = None           # drop the Krylov-layout copy before the
+        # refine allocates its q/w planes (1.3 GB each at Ns=16)
+        # drain pending work and drop dead executables/buffers before
+        # the refine allocates: the tunnel runtime frees asynchronously
+        # and keeps OOMing refine dispatches while the (logically dead)
+        # Krylov basis is still resident
+        import gc
+        jax.block_until_ready(ev64)
+        gc.collect()
         theta, vecs, resid = rayleigh_refine_real_device(
-            matvec_real64, to64(res32.eigenvectors), neigen, op64=op64,
-            rtol=rtol)
+            matvec_real64, ev64, neigen, op64=op64, rtol=rtol)
+        del ev64
     else:
         mv64 = (matvec_real64 if op64 is None
                 else (lambda x: matvec_real64(op64, x)))
         theta, vecs, resid = rayleigh_refine_real(
             mv64, res32.eigenvectors, neigen, rtol=rtol, max_expand=16)
-    nmv = res32.iterations + len(res32.eigenvectors)
+    nmv = (nmv32 if res32 is None
+           else res32.iterations + len(res32.eigenvectors))
     ok = np.all(resid <= rtol * np.maximum(np.abs(theta), 1.0))
     if not ok:
         # full-f64 polish at the CALLER's tolerance (not the vector
