@@ -105,10 +105,16 @@ def main():
         dev64, dim64, emb_h, ext_h = hier_dev.build_real_padded_hier(
             op, dtype=jnp.float64)
         t1 = time.time()
-        v_h = emb_h(extract(blob["vec"].astype(np.float64))[None])
+        # rtol=None: ONE f64 Rayleigh-Ritz pass (exact f64 quotient +
+        # explicit residual).  The E0 error is bounded by resid^2/gap
+        # (~1e-10 at the measured 1e-5-grade vector residual); the
+        # expansion rounds that would push the VECTOR residual to the
+        # f64 floor need ~14-15 GB live (measured) and stay the
+        # multi-chip regime on this 16 GB part.
         theta, vecs, resid = lanczos.rayleigh_refine_real_device(
-            hier_dev.apply_hier_real_flat_lowmem, v_h, 1, op64=dev64,
-            rtol=args.vec_rtol)
+            hier_dev.apply_hier_real_flat_lowmem,
+            emb_h(extract(blob["vec"].astype(np.float64))[None]),
+            1, op64=dev64, rtol=None)
         dt = time.time() - t1
         e0 = float(theta[0])
         # explicit f64 residual of the refined vector
@@ -140,7 +146,7 @@ def main():
                             "--vec-rtol", str(args.vec_rtol)],
                            check=True)
             s1 = np.load(f)
-            s2 = np.load(f + ".out")
+            s2 = np.load(f + ".out.npz")
             return {"wall_s": time.time() - t0s,
                     "stage1_s": float(s1["stage1_s"]),
                     "stage2_s": float(s2["stage2_s"]),

@@ -1252,6 +1252,7 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
         x = _restart_real(v, s_d)                      # [ne, dim] device
         wx = _restart_real(w, s_d)
         r = wx - jnp.asarray(th)[:, None] * x
+        del wx                # r holds everything the round still needs
         resid = np.sqrt(np.maximum(
             np.asarray(_gram_chunked(r, r)).diagonal(), 0.0))
         # padded Ritz rows (whitening dropped directions): never accept
@@ -1262,6 +1263,9 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
         if done or it == max_expand or k_act + ne > k_cap \
                 or rstall.stalled(worst):
             break
+        x = None              # rebuilt at the next round's Ritz rotate;
+        # holding it through the expansion matvecs was ne extra planes
+        # at the Ns=16 flagship
         for _ in range(2):                             # CGS2 vs current v
             c = np.asarray(_gram_chunked(r, v))        # [ne, kalloc]
             r = r - _restart_real(v, jnp.asarray(
@@ -1269,10 +1273,14 @@ def rayleigh_refine_real_device(matvec_real64, vecs, neigen: int,
         nrm = np.sqrt(np.maximum(
             np.asarray(_gram_chunked(r, r)).diagonal(), 0.0))
         rhat = r / jnp.asarray(np.maximum(nrm, 1e-30))[:, None]
-        w_new = jnp.stack([apply_fn(opd, rhat[j]) for j in range(ne)])
+        del r
+        # cheap grams BEFORE the expansion matvec: its transients must
+        # not stack on top of one more retained plane (OOM margin at
+        # the Ns=16 flagship)
         gc = np.asarray(_gram_chunked(rhat, v))        # [ne, kalloc]
         gd = np.asarray(_gram_chunked(rhat, rhat))
         hc = np.asarray(_gram_chunked(rhat, w))
+        w_new = jnp.stack([apply_fn(opd, rhat[j]) for j in range(ne)])
         hd = np.asarray(_gram_chunked(rhat, w_new))
         sl = slice(k_act, k_act + ne)
         g[sl, :] = gc
